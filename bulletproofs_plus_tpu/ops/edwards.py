@@ -1,0 +1,186 @@
+"""Batched extended-twisted-Edwards point kernels over GF(2^255-19).
+
+Points live in extended coordinates (X : Y : Z : T), x = X/Z, y = Y/Z,
+T = XY/Z, on edwards25519 (a = -1).  The addition law is *complete* for this
+curve, so one uniform kernel handles identity, doubling and generic cases —
+exactly what fixed-shape TPU code wants (no branches).
+
+A ``PointArray`` is a pytree of four (..., 16) uint32 limb arrays; the
+leading axes are batch axes.  This is the TPU-native replacement for the
+reference's `curve25519-dalek` `RistrettoPoint` operations
+(/root/reference/src/ristretto.rs:26-66).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as F
+from .limbs import NLIMBS, limbs_from_int
+from . import host_ristretto as hr
+
+
+class PointArray(NamedTuple):
+    """A batch of Edwards points in extended coordinates."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    t: jnp.ndarray
+
+    @property
+    def batch_shape(self):
+        return self.x.shape[:-1]
+
+
+_D_LIMBS = limbs_from_int(hr.D)
+_D2_LIMBS = limbs_from_int(2 * hr.D % hr.P)
+_ONE = limbs_from_int(1)
+_ZERO = limbs_from_int(0)
+
+
+def _bc(const_limbs: np.ndarray, shape) -> jnp.ndarray:
+    return jnp.broadcast_to(jnp.asarray(const_limbs, dtype=jnp.uint32), tuple(shape) + (NLIMBS,))
+
+
+def identity(batch_shape=()) -> PointArray:
+    return PointArray(
+        x=_bc(_ZERO, batch_shape),
+        y=_bc(_ONE, batch_shape),
+        z=_bc(_ONE, batch_shape),
+        t=_bc(_ZERO, batch_shape),
+    )
+
+
+def add(p: PointArray, q: PointArray) -> PointArray:
+    """Complete addition, add-2008-hwcd-3 for a = -1 (8M + 1 small)."""
+    a = F.mul25519(F.sub25519(p.y, p.x), F.sub25519(q.y, q.x))
+    b = F.mul25519(F.add25519(p.y, p.x), F.add25519(q.y, q.x))
+    c = F.mul25519(F.mul25519(p.t, _bc(_D2_LIMBS, p.t.shape[:-1])), q.t)
+    d = F.mul_small25519(F.mul25519(p.z, q.z), 2)
+    e = F.sub25519(b, a)
+    f = F.sub25519(d, c)
+    g = F.add25519(d, c)
+    h = F.add25519(b, a)
+    return PointArray(
+        x=F.mul25519(e, f),
+        y=F.mul25519(g, h),
+        z=F.mul25519(f, g),
+        t=F.mul25519(e, h),
+    )
+
+
+def double(p: PointArray) -> PointArray:
+    """dbl-2008-hwcd, a = -1 (4M + 4S)."""
+    a = F.sqr25519(p.x)
+    b = F.sqr25519(p.y)
+    c = F.mul_small25519(F.sqr25519(p.z), 2)
+    e = F.sub25519(F.sqr25519(F.add25519(p.x, p.y)), F.add25519(a, b))
+    g = F.sub25519(b, a)
+    f = F.sub25519(g, c)
+    h = F.neg25519(F.add25519(a, b))
+    return PointArray(
+        x=F.mul25519(e, f),
+        y=F.mul25519(g, h),
+        z=F.mul25519(f, g),
+        t=F.mul25519(e, h),
+    )
+
+
+def neg(p: PointArray) -> PointArray:
+    return PointArray(x=F.neg25519(p.x), y=p.y, z=p.z, t=F.neg25519(p.t))
+
+
+def select(mask: jnp.ndarray, p: PointArray, q: PointArray) -> PointArray:
+    """where(mask, p, q); mask shaped like the batch."""
+    return PointArray(
+        x=F.select(mask, p.x, q.x),
+        y=F.select(mask, p.y, q.y),
+        z=F.select(mask, p.z, q.z),
+        t=F.select(mask, p.t, q.t),
+    )
+
+
+def cond_add(mask: jnp.ndarray, acc: PointArray, p: PointArray) -> PointArray:
+    """acc + p where mask else acc (uniform shape, no branches)."""
+    return select(mask, add(acc, p), acc)
+
+
+def _scalar_bit(scalar: jnp.ndarray, i: int) -> jnp.ndarray:
+    """Bit i (LSB order) of (..., 16) uint32 limb scalars -> bool (...)."""
+    return ((scalar[..., i // 16] >> jnp.uint32(i % 16)) & 1) == 1
+
+
+def scalar_mul(scalar: jnp.ndarray, p: PointArray, bits: int = 256) -> PointArray:
+    """Batched variable-point scalar multiplication (double-and-add ladder).
+
+    scalar: (..., 16) canonical limbs; p: PointArray with matching batch.
+    Fixed 256-iteration lax.scan — constant shape, no secret-dependent
+    control flow (every lane does identical work).
+    """
+    bit_idx = jnp.arange(bits, dtype=jnp.uint32)
+
+    def body(carry, i):
+        acc, base = carry
+        limb = jax.lax.dynamic_index_in_dim(scalar, (i // 16).astype(jnp.int32), axis=-1, keepdims=False)
+        bit = ((limb >> (i % 16)) & 1) == 1
+        acc = cond_add(bit, acc, base)
+        base = double(base)
+        return (acc, base), None
+
+    acc0 = identity(p.batch_shape)
+    (acc, _), _ = jax.lax.scan(body, (acc0, p), bit_idx)
+    return acc
+
+
+def double_scalar_mul(
+    a: jnp.ndarray, p: PointArray, b: jnp.ndarray, q: PointArray, bits: int = 256
+) -> PointArray:
+    """Batched a*P + b*Q (shared doubling chain — Straus with window 1)."""
+    bit_idx = jnp.arange(bits, dtype=jnp.uint32)
+
+    def body(carry, i):
+        acc, bp, bq = carry
+        la = jax.lax.dynamic_index_in_dim(a, (i // 16).astype(jnp.int32), axis=-1, keepdims=False)
+        lb = jax.lax.dynamic_index_in_dim(b, (i // 16).astype(jnp.int32), axis=-1, keepdims=False)
+        acc = cond_add(((la >> (i % 16)) & 1) == 1, acc, bp)
+        acc = cond_add(((lb >> (i % 16)) & 1) == 1, acc, bq)
+        return (acc, double(bp), double(bq)), None
+
+    acc0 = identity(p.batch_shape)
+    (acc, _, _), _ = jax.lax.scan(body, (acc0, p, q), bit_idx)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversion
+# ---------------------------------------------------------------------------
+
+
+def from_host(points) -> PointArray:
+    """List of host_ristretto points (or one point) -> PointArray."""
+    single = isinstance(points, tuple) and len(points) == 4 and isinstance(points[0], int)
+    pts = [points] if single else list(points)
+    arrs = [np.stack([limbs_from_int(p[i]) for p in pts]) for i in range(4)]
+    if single:
+        arrs = [a[0] for a in arrs]
+    return PointArray(*(jnp.asarray(a, dtype=jnp.uint32) for a in arrs))
+
+
+def to_host(p: PointArray):
+    """PointArray -> list of host points (or one point if unbatched)."""
+    from .limbs import int_from_limbs
+
+    xs = np.asarray(p.x)
+    single = xs.ndim == 1
+    arr = [np.asarray(c).reshape(-1, NLIMBS) for c in p]
+    n = arr[0].shape[0]
+    pts = [
+        tuple(int_from_limbs(arr[c][i]) % hr.P for c in range(4))
+        for i in range(n)
+    ]
+    return pts[0] if single else pts
