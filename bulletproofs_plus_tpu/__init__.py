@@ -28,19 +28,45 @@ from .errors import (
     SizeOverflow,
     VerificationFailed,
 )
+from .gens import (
+    BulletproofGens,
+    ExtensionDegree,
+    PedersenGens,
+    RangeParameters,
+    create_pedersen_gens_with_extension_degree,
+)
+from .models import (
+    CommitmentOpening,
+    ExtendedMask,
+    RangeProof,
+    RangeStatement,
+    RangeWitness,
+    VerifyAction,
+)
 from .utils.merlin import NullRng, OsRng, SeededRng, Transcript
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "ProofError",
-    "VerificationFailed",
+    "BulletproofGens",
+    "CommitmentOpening",
+    "ExtendedMask",
+    "ExtensionDegree",
     "InvalidArgument",
-    "InvalidLength",
     "InvalidBlake2b",
-    "SizeOverflow",
-    "Transcript",
+    "InvalidLength",
     "NullRng",
     "OsRng",
+    "PedersenGens",
+    "ProofError",
+    "RangeParameters",
+    "RangeProof",
+    "RangeStatement",
+    "RangeWitness",
     "SeededRng",
+    "SizeOverflow",
+    "Transcript",
+    "VerificationFailed",
+    "VerifyAction",
+    "create_pedersen_gens_with_extension_degree",
 ]

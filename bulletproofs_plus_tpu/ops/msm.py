@@ -1,0 +1,152 @@
+"""Multiscalar multiplication: host Pippenger and batched device ladder.
+
+Replaces the reference's reliance on `curve25519-dalek`'s
+`vartime_multiscalar_mul` / `VartimePrecomputedMultiscalarMul`
+(/root/reference/src/range_proof.rs:339-345, 482-495, 1050-1062).
+
+Two backends:
+  * host: variable-time Pippenger over Python ints — setup paths and the
+    correctness oracle.  Never handles secret-dependent timing concerns any
+    differently from the reference (which is also vartime here).
+  * device: fixed-shape JAX kernels — a 256-bit double-and-add ladder over
+    all lanes followed by a binary-tree reduction.  Constant shape, no
+    data-dependent control flow; lanes are padded to a power of two with
+    (zero scalar, identity point), which the complete addition law absorbs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import edwards as ed
+from . import host_ristretto as hr
+from .edwards import PointArray
+from .limbs import NLIMBS, pack_ints
+
+# ---------------------------------------------------------------------------
+# Host Pippenger (variable-time, python ints)
+# ---------------------------------------------------------------------------
+
+
+def _pippenger_window(n: int) -> int:
+    if n < 4:
+        return 1
+    if n < 32:
+        return 3
+    if n < 256:
+        return 5
+    if n < 1024:
+        return 7
+    if n < 8192:
+        return 10
+    return 13
+
+
+def host_msm(scalars: Sequence[int], points: Sequence[hr.Point]) -> hr.Point:
+    """sum_i scalars[i] * points[i] via bucketed Pippenger."""
+    if len(scalars) != len(points):
+        raise ValueError("scalar/point length mismatch")
+    n = len(scalars)
+    if n == 0:
+        return hr.IDENTITY
+    scalars = [s % hr.L for s in scalars]
+    w = _pippenger_window(n)
+    nbuckets = (1 << w) - 1
+    nwindows = (252 + w) // w  # l < 2^253
+
+    acc = hr.IDENTITY
+    for window in reversed(range(nwindows)):
+        if window != nwindows - 1:
+            for _ in range(w):
+                acc = hr.point_double(acc)
+        buckets: List[hr.Point] = [hr.IDENTITY] * nbuckets
+        shift = window * w
+        for s, p in zip(scalars, points):
+            digit = (s >> shift) & nbuckets
+            if digit:
+                buckets[digit - 1] = hr.point_add(buckets[digit - 1], p)
+        # sum_b (b+1) * buckets[b] via suffix running sums
+        running = hr.IDENTITY
+        window_sum = hr.IDENTITY
+        for b in reversed(range(nbuckets)):
+            running = hr.point_add(running, buckets[b])
+            window_sum = hr.point_add(window_sum, running)
+        acc = hr.point_add(acc, window_sum)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Device MSM
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def pad_msm_inputs(scalars: jnp.ndarray, points: PointArray, target: int | None = None):
+    """Pad lanes to `target` (default: next power of two) with zero scalars
+    and identity points."""
+    n = scalars.shape[0]
+    m = _next_pow2(n) if target is None else target
+    if m == n:
+        return scalars, points
+    pad = m - n
+    scalars = jnp.concatenate([scalars, jnp.zeros((pad, NLIMBS), jnp.uint32)], axis=0)
+    idp = ed.identity((pad,))
+    points = PointArray(*(jnp.concatenate([c, i], axis=0) for c, i in zip(points, idp)))
+    return scalars, points
+
+
+def tree_reduce(points: PointArray) -> PointArray:
+    """Binary-tree sum of a power-of-two batch of points -> single point."""
+    n = points.x.shape[0]
+    assert n & (n - 1) == 0, "tree_reduce needs power-of-two lanes"
+    while n > 1:
+        n //= 2
+        lo = PointArray(*(c[:n] for c in points))
+        hi = PointArray(*(c[n : 2 * n] for c in points))
+        points = ed.add(lo, hi)
+    return PointArray(*(c[0] for c in points))
+
+
+@jax.jit
+def msm_kernel(scalars: jnp.ndarray, points: PointArray) -> PointArray:
+    """sum_i scalars[i] * points[i]; lanes must already be a power of two.
+
+    256-iteration ladder (shared across lanes) then tree reduction.  Fixed
+    shape; secret-independent control flow.
+    """
+    per_lane = ed.scalar_mul(scalars, points)
+    return tree_reduce(per_lane)
+
+
+def device_msm(scalars: Sequence[int], points: Sequence[hr.Point]) -> hr.Point:
+    """Host-convenience wrapper: python ints/points -> device MSM -> host point."""
+    if len(scalars) == 0:
+        return hr.IDENTITY
+    s = jnp.asarray(pack_ints([s % hr.L for s in scalars]))
+    p = ed.from_host(list(points))
+    s, p = pad_msm_inputs(s, p)
+    out = msm_kernel(s, p)
+    return ed.to_host(out)
+
+
+_BACKENDS = {"host": host_msm, "device": device_msm}
+_default_backend = "host"
+
+
+def set_default_backend(name: str) -> None:
+    if name not in _BACKENDS:
+        raise ValueError(f"unknown msm backend {name!r}")
+    global _default_backend
+    _default_backend = name
+
+
+def msm(scalars: Sequence[int], points: Sequence[hr.Point], backend: str | None = None) -> hr.Point:
+    """Dispatching MSM over host scalar/point lists."""
+    return _BACKENDS[backend or _default_backend](scalars, points)
