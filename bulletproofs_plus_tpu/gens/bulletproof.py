@@ -25,7 +25,14 @@ class BulletproofGens:
     """All G_i / H_i generators for up to `party_capacity` parties with up to
     `gens_capacity` bits each."""
 
-    __slots__ = ("gens_capacity", "party_capacity", "g_vec", "h_vec", "_interleaved_device")
+    __slots__ = (
+        "gens_capacity",
+        "party_capacity",
+        "g_vec",
+        "h_vec",
+        "_interleaved_device",
+        "_fixed_tables",
+    )
 
     def __init__(self, gens_capacity: int, party_capacity: int):
         if party_capacity > 0xFFFFFFFF:
@@ -41,6 +48,7 @@ class BulletproofGens:
             generators_chain(party_label(ord("H"), i), gens_capacity) for i in range(party_capacity)
         ]
         self._interleaved_device = None
+        self._fixed_tables = None
 
     def g_iter(self, n: int, m: int) -> List[hr.Point]:
         """First n of each of the first m parties' G generators, flattened."""
@@ -68,3 +76,13 @@ class BulletproofGens:
 
             self._interleaved_device = from_host(self.interleaved())
         return self._interleaved_device
+
+    def fixed_tables(self):
+        """Precomputed 4-bit digit tables over the interleaved generators —
+        the `Precomputable` analog (traits.rs:40-43); built once, cached in
+        HBM (256 KB per generator)."""
+        if self._fixed_tables is None:
+            from ..ops.fixed_base import build_tables
+
+            self._fixed_tables = build_tables(self.interleaved_device())
+        return self._fixed_tables

@@ -103,6 +103,16 @@ class RangeProof:
             return NotImplemented
         return self.to_bytes() == other.to_bytes()
 
+    # Pickle through the canonical byte codec — the serde analog
+    # (range_proof.rs:1270-1309 serializes as canonical bytes too).
+    def __getstate__(self):
+        return self.to_bytes()
+
+    def __setstate__(self, state: bytes):
+        other = RangeProof.from_bytes(state)
+        for slot in self.__slots__:
+            setattr(self, slot, getattr(other, slot))
+
     # ------------------------------------------------------------------
     # Prover
     # ------------------------------------------------------------------
@@ -402,8 +412,12 @@ class RangeProof:
         proofs: Sequence["RangeProof"],
         action: VerifyAction,
         msm_backend: Optional[str] = None,
+        engine: str = "host",
     ) -> List[Optional[ExtendedMask]]:
         """Verify a batch of proofs with one folded MSM.
+
+        engine="host" runs the exact-int oracle pipeline; engine="device"
+        runs the jitted TPU pipeline (models/verifier_kernels.py).
 
         Parity quirk (range_proof.rs:740-749): only the FIRST chunk of
         MAX_RANGE_PROOF_BATCH_SIZE=256 proofs is processed; any proofs beyond
@@ -419,7 +433,124 @@ class RangeProof:
         batch_statements = statements[:MAX_RANGE_PROOF_BATCH_SIZE]
         batch_proofs = proofs[:MAX_RANGE_PROOF_BATCH_SIZE]
         batch_transcripts = transcripts[:MAX_RANGE_PROOF_BATCH_SIZE]
+        if engine == "device":
+            return RangeProof._verify_device(batch_transcripts, batch_statements, batch_proofs, action)
         return RangeProof._verify(batch_transcripts, batch_statements, batch_proofs, action, msm_backend)
+
+    @staticmethod
+    def _verify_device(
+        transcripts: List[Transcript],
+        statements: Sequence[RangeStatement],
+        proofs: Sequence["RangeProof"],
+        action: VerifyAction,
+    ) -> List[Optional[ExtendedMask]]:
+        """Device (TPU) verification: host Fiat-Shamir replay, then jitted
+        scalar pipelines per proof shape and one folded MSM ladder."""
+        from ..ops import edwards as ed
+        from ..ops import field as F
+        from .verifier_kernels import DeviceVerifier, final_msm_is_identity, pad_msm_inputs
+        import jax.numpy as jnp
+        import numpy as _np
+        from ..ops.limbs import NLIMBS as _NLIMBS
+
+        max_mn, max_index = RangeProof._verify_consistency(statements, proofs)
+        first = statements[0]
+        max_statement = statements[max_index]
+        gens = first.generators
+        bit_length = gens.bit_length()
+        extension_degree = int(gens.extension_degree())
+
+        batch_challenges, seeds = RangeProof._replay_challenges(transcripts, statements, proofs)
+        weight_transcript = Transcript(b"Bulletproofs+ verifier weights")
+        for seed in seeds:
+            weight_transcript.append_message(b"proof", seed)
+        weight_rng = weight_transcript.build_rng().finalize(NullRng())
+        weights: List[int] = []
+        for _ in proofs:
+            while True:
+                wide = weight_rng.fill_bytes(64)
+                v = int.from_bytes(wide[0].tobytes(), "little") % L
+                if v != 0:
+                    weights.append(v)
+                    break
+
+        masks: List[Optional[ExtendedMask]] = []
+        if action == VerifyAction.VERIFY_ONLY:
+            masks = [None] * len(proofs)
+        else:
+            for statement, proof, challenge in zip(statements, proofs, batch_challenges):
+                masks.append(RangeProof._recover_mask(statement, proof, challenge, extension_degree))
+            if action == VerifyAction.RECOVER_ONLY:
+                return masks
+
+        # Basic structural checks (the host engine does these in its loop)
+        for statement, proof in zip(statements, proofs):
+            full_length = len(statement.commitments) * bit_length
+            if len(proof.li) != len(proof.ri):
+                raise InvalidLength("Vector L length not equal to vector R length")
+            if (1 << len(proof.li)) != full_length:
+                raise InvalidLength("Vector L/R length not adequate")
+
+        # Group proofs by shape; accumulate per-group contributions
+        groups: dict = {}
+        for idx, (statement, proof) in enumerate(zip(statements, proofs)):
+            key = (len(statement.commitments), len(proof.li))
+            groups.setdefault(key, []).append(idx)
+
+        gi_total = jnp.zeros((max_mn, _NLIMBS), jnp.uint32)
+        hi_total = jnp.zeros((max_mn, _NLIMBS), jnp.uint32)
+        g_base_total = jnp.zeros((extension_degree, _NLIMBS), jnp.uint32)
+        h_base_total = jnp.zeros((_NLIMBS,), jnp.uint32)
+        dyn_scalar_parts = []
+        dyn_point_parts = []
+        for (m, rounds), indices in groups.items():
+            gi, hi, gb, hb, dyn_s, dyn_p = DeviceVerifier.group_contributions(
+                [statements[i] for i in indices],
+                [proofs[i] for i in indices],
+                [batch_challenges[i] for i in indices],
+                [weights[i] for i in indices],
+                bit_length,
+                extension_degree,
+                max_mn,
+            )
+            gi_total = F.add_l(gi_total, gi)
+            hi_total = F.add_l(hi_total, hi)
+            g_base_total = F.add_l(g_base_total, gb)
+            h_base_total = F.add_l(h_base_total, hb)
+            dyn_scalar_parts.append(dyn_s)
+            dyn_point_parts.append(dyn_p)
+
+        # Static half: interleaved gi/hi scalars against the precomputed
+        # fixed-base tables (the Precomputable analog)
+        static_scalars = jnp.stack([gi_total, hi_total], axis=1).reshape(2 * max_mn, _NLIMBS)
+        tables_full = max_statement.generators.bp_gens.fixed_tables()
+        tables = type(tables_full)(*(c[:, :, : 2 * max_mn] for c in tables_full))
+
+        # Dynamic half: per-proof points + Pedersen bases, ladder MSM
+        g_base_pts = ed.from_host(gens.g_bases())
+        h_base_pt = ed.from_host([gens.h_base()])
+        dyn_scalars = jnp.concatenate(
+            dyn_scalar_parts + [g_base_total, h_base_total[None]], axis=0
+        )
+        from ..ops.edwards import PointArray as _PA
+
+        dyn_points = _PA(
+            *(
+                jnp.concatenate(
+                    [getattr(p, f) for p in dyn_point_parts]
+                    + [getattr(g_base_pts, f), getattr(h_base_pt, f)],
+                    axis=0,
+                )
+                for f in ("x", "y", "z", "t")
+            )
+        )
+        dyn_scalars, dyn_points = pad_msm_inputs(dyn_scalars, dyn_points)
+
+        from .verifier_kernels import mixed_msm_is_identity
+
+        if not bool(mixed_msm_is_identity(static_scalars, tables, dyn_scalars, dyn_points)):
+            raise VerificationFailed("Range proof batch not valid")
+        return masks
 
     @staticmethod
     def _replay_challenges(
@@ -501,6 +632,41 @@ class RangeProof:
                     seeds[i] = seed_bytes[lane].tobytes()
 
         return challenges, seeds  # type: ignore[return-value]
+
+    @staticmethod
+    def _recover_mask(
+        statement: RangeStatement,
+        proof: "RangeProof",
+        challenge: Tuple[int, int, List[int], int],
+        extension_degree: int,
+    ) -> Optional[ExtendedMask]:
+        """Mask recovery from d1 and deterministic nonces
+        (range_proof.rs:941-969)."""
+        if statement.seed_nonce is None:
+            return None
+        seed_nonce = statement.seed_nonce
+        y, z, challenges_list, e = challenge
+        full_length = len(statement.commitments) * statement.generators.bit_length()
+        z_square = z * z % L
+        e_square = e * e % L
+        y_nm_1 = pow(y, full_length + 1, L)
+        challenges_sq = [c * c % L for c in challenges_list]
+        challenges_sq_inv = [_inv(c) for c in challenges_sq]
+        temp_masks = []
+        for k in range(extension_degree):
+            this_mask = (
+                (proof.d1[k] - nonce(seed_nonce, "eta", None, k) - e * nonce(seed_nonce, "d", None, k))
+                % L
+                * _inv(e_square)
+                % L
+            )
+            this_mask = (this_mask - nonce(seed_nonce, "alpha", None, k)) % L
+            for j, (c_sq, c_sq_inv) in enumerate(zip(challenges_sq, challenges_sq_inv)):
+                this_mask = (this_mask - c_sq * nonce(seed_nonce, "dL", j, k)) % L
+                this_mask = (this_mask - c_sq_inv * nonce(seed_nonce, "dR", j, k)) % L
+            this_mask = this_mask * _inv(z_square * y_nm_1 % L) % L
+            temp_masks.append(this_mask)
+        return ExtendedMask.assign(ExtensionDegree.from_int(extension_degree), temp_masks)
 
     @staticmethod
     def _verify(
@@ -604,25 +770,7 @@ class RangeProof:
             if action == VerifyAction.VERIFY_ONLY:
                 masks.append(None)
             else:
-                if statement.seed_nonce is not None:
-                    seed_nonce = statement.seed_nonce
-                    temp_masks = []
-                    for k in range(extension_degree):
-                        this_mask = (
-                            (d1[k] - nonce(seed_nonce, "eta", None, k) - e * nonce(seed_nonce, "d", None, k))
-                            % L
-                            * _inv(e_square)
-                            % L
-                        )
-                        this_mask = (this_mask - nonce(seed_nonce, "alpha", None, k)) % L
-                        for j, (c_sq, c_sq_inv) in enumerate(zip(challenges_sq, challenges_sq_inv)):
-                            this_mask = (this_mask - c_sq * nonce(seed_nonce, "dL", j, k)) % L
-                            this_mask = (this_mask - c_sq_inv * nonce(seed_nonce, "dR", j, k)) % L
-                        this_mask = this_mask * _inv(z_square * y_nm_1 % L) % L
-                        temp_masks.append(this_mask)
-                    masks.append(ExtendedMask.assign(ExtensionDegree.from_int(extension_degree), temp_masks))
-                else:
-                    masks.append(None)
+                masks.append(RangeProof._recover_mask(statement, proof, challenge, extension_degree))
                 if action == VerifyAction.RECOVER_ONLY:
                     continue
 

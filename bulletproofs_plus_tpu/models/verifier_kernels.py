@@ -1,0 +1,369 @@
+"""Device (JAX) batch-verification pipeline — the flagship TPU path.
+
+Implements the verifier's pass-2 scalar accumulation and final folded MSM
+(/root/reference/src/range_proof.rs:856-1062) as fixed-shape jitted kernels:
+
+  * one `scalar_pass` jit per proof shape (m, bit_length, extension_degree)
+    computing every per-proof scalar — challenge inversions (Fermat),
+    the s-vector via its bit-product closed form, inverse-power ladders via
+    binary decomposition (log2(mn) vector muls instead of a length-mn scan),
+    gi/hi generator accumulators, and all dynamic MSM scalars;
+  * one batched Ristretto decompression over every dynamic proof point;
+  * one giant MSM ladder against the identity.
+
+Fiat-Shamir challenge replay (pass 1) stays on host — it is inherently
+sequential Keccak sponge work, already numpy-batched across proofs.
+
+All scalars are (..., 16) uint32 limb arrays mod l; math comes from
+ops.field (Barrett reduction).  Shapes are static per (m, n, degree) group,
+so XLA compiles one program per shape — the shape space is tiny
+(SURVEY.md §7 hard part 2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import edwards as ed
+from ..ops import field as F
+from ..ops import host_ristretto as hr
+from ..ops import ristretto as rist
+from ..ops.edwards import PointArray
+from ..ops.limbs import NLIMBS, limbs_from_bytes, limbs_from_int, pack_ints
+from ..ops.msm import msm_kernel, pad_msm_inputs
+
+L = hr.L
+
+
+def _const(value: int) -> jnp.ndarray:
+    return jnp.asarray(limbs_from_int(value % L), dtype=jnp.uint32)
+
+
+_ONE = limbs_from_int(1)
+
+
+def _inv_l(x: jnp.ndarray) -> jnp.ndarray:
+    return F.pow_l(x, L - 2)
+
+
+def _pow_static(x: jnp.ndarray, exp: int) -> jnp.ndarray:
+    return F.pow_l(x, exp) if exp > 1 else (x if exp == 1 else jnp.broadcast_to(_const(1), x.shape))
+
+
+def _index_bit_products(base_prod: jnp.ndarray, factors: jnp.ndarray, mn: int) -> jnp.ndarray:
+    """s[i] = base_prod * prod_{bit b set in i} factors[:, rounds-1-b].
+
+    base_prod: (B, 16); factors: (B, rounds, 16) -> (B, mn, 16).
+    One lax.scan over bit positions (log2(mn) steps, single multiply body).
+    """
+    rounds = factors.shape[1]
+    assert mn == 1 << rounds
+    B = base_prod.shape[0]
+    out0 = jnp.broadcast_to(base_prod[:, None, :], (B, mn, NLIMBS))
+    idx = np.arange(mn)
+    masks = jnp.asarray(
+        np.stack([(idx >> b) & 1 == 1 for b in range(rounds)])
+    )  # (rounds, mn)
+    # factor for bit b is factors[:, rounds-1-b]
+    xs = (masks, jnp.flip(factors, axis=1).transpose(1, 0, 2))  # (rounds, mn), (rounds, B, 16)
+
+    def body(out, x):
+        mask, factor = x
+        mult = F.mul_l(out, factor[:, None, :])
+        return F.select(jnp.broadcast_to(mask[None, :], out.shape[:-1]), mult, out), None
+
+    out, _ = jax.lax.scan(body, out0, xs)
+    return out
+
+
+def _power_ladder(base: jnp.ndarray, start: jnp.ndarray, mn: int) -> jnp.ndarray:
+    """out[:, i] = start * base^i for i in 0..mn — binary decomposition as a
+    lax.scan over bit positions (one multiply+square body).
+
+    base, start: (B, 16) -> (B, mn, 16).
+    """
+    nbits = max(1, (mn - 1).bit_length())
+    B = start.shape[0]
+    out0 = jnp.broadcast_to(start[:, None, :], (B, mn, NLIMBS))
+    idx = np.arange(mn)
+    masks = jnp.asarray(np.stack([(idx >> b) & 1 == 1 for b in range(nbits)]))  # (nbits, mn)
+
+    def body(carry, mask):
+        out, pow2 = carry
+        mult = F.mul_l(out, pow2[:, None, :])
+        out = F.select(jnp.broadcast_to(mask[None, :], out.shape[:-1]), mult, out)
+        return (out, F.sqr_l(pow2)), None
+
+    (out, _), _ = jax.lax.scan(body, (out0, base), masks)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn"))
+def scalar_pass(
+    y: jnp.ndarray,  # (B, 16)
+    z: jnp.ndarray,  # (B, 16)
+    round_es: jnp.ndarray,  # (B, rounds, 16)
+    e: jnp.ndarray,  # (B, 16)
+    weight: jnp.ndarray,  # (B, 16)
+    r1: jnp.ndarray,  # (B, 16)
+    s1: jnp.ndarray,  # (B, 16)
+    d1: jnp.ndarray,  # (B, deg, 16)
+    min_values: jnp.ndarray,  # (B, m, 16) limbs (0 when absent)
+    *,
+    m: int,
+    bit_length: int,
+    extension_degree: int,
+    max_mn: int,
+):
+    """Pass-2 scalar accumulation for one shape group of B proofs.
+
+    Returns (gi_scalars (max_mn,16), hi_scalars (max_mn,16),
+             g_base_scalars (deg,16), h_base_scalar (16,),
+             commit_scalars (B,m,16), a1_s (B,16), b_s (B,16), a_s (B,16),
+             li_s (B,rounds,16), ri_s (B,rounds,16)).
+    """
+    B = y.shape[0]
+    mn = m * bit_length
+    rounds = round_es.shape[1]
+
+    # One fused Fermat inversion over [es..., y, y-1] (the batch_invert
+    # analog, range_proof.rs:897-905) — a single scan body instead of three
+    y_minus_1 = F.sub_l(y, jnp.broadcast_to(_const(1), y.shape))
+    inv_in = jnp.concatenate([round_es, y[:, None], y_minus_1[:, None]], axis=1)
+    inv_out = _inv_l(inv_in)
+    es_inv = inv_out[:, :rounds]
+    y_inverse = inv_out[:, rounds]
+    y_1_inverse = inv_out[:, rounds + 1]
+
+    # prod of challenge inverses
+    ch_inv_prod = jnp.broadcast_to(_const(1), y.shape)
+    for j in range(rounds):
+        ch_inv_prod = F.mul_l(ch_inv_prod, es_inv[:, j])
+
+    z_square = F.sqr_l(z)
+    e_square = F.sqr_l(e)
+    ch_sq = F.sqr_l(round_es)
+    ch_sq_inv = F.sqr_l(es_inv)
+    y_nm = _pow_static(y, mn)
+    y_nm_1 = F.mul_l(y_nm, y)
+    one = jnp.broadcast_to(_const(1), y.shape)
+    y_sum = F.mul_l(F.mul_l(y, F.sub_l(y_nm, one)), y_1_inverse)
+
+    # d vector: d[j*n + i] = z^{2(j+1)} * 2^i  -> (B, mn, 16)
+    two_pows = jnp.asarray(pack_ints([pow(2, i, L) for i in range(bit_length)]))  # (n, 16)
+    z2_pows = _power_ladder(z_square, z_square, m)  # (B, m, 16): z^{2(j+1)}
+    d = F.mul_l(z2_pows[:, :, None, :], two_pows[None, None, :, :]).reshape(B, mn, NLIMBS)
+
+    # d_sum = (sum_j z^{2(j+1)}) * (2^n - 1)
+    d_sum = z2_pows[:, 0]
+    for j in range(1, m):
+        d_sum = F.add_l(d_sum, z2_pows[:, j])
+    d_sum = F.mul_l(d_sum, jnp.broadcast_to(_const(pow(2, bit_length, L) - 1), d_sum.shape))
+
+    # s vector and its reverse
+    s_vec = _index_bit_products(ch_inv_prod, ch_sq, mn)  # (B, mn, 16)
+    s_rev = s_vec[:, ::-1]
+
+    # y^{-i}, and y^{mn-i} = y^mn * y^{-i} (one ladder, one extra multiply)
+    y_inv_i = _power_ladder(y_inverse, one, mn)  # (B, mn, 16)
+    y_nm_i = F.mul_l(y_nm[:, None], y_inv_i)
+
+    r1_e = F.mul_l(r1, e)
+    s1_e = F.mul_l(s1, e)
+    e_square_z = F.mul_l(e_square, z)
+
+    g_term = F.add_l(F.mul_l(F.mul_l(r1_e[:, None], y_inv_i), s_vec), e_square_z[:, None])
+    h_term = F.sub_l(
+        F.mul_l(s1_e[:, None], s_rev),
+        F.mul_l(e_square[:, None], F.add_l(F.mul_l(d, y_nm_i), z[:, None])),
+    )
+    gi_contrib = F.mul_l(weight[:, None], g_term)  # (B, mn, 16)
+    hi_contrib = F.mul_l(weight[:, None], h_term)
+
+    # Sum over the batch -> (mn, 16), then pad to max_mn.
+    # Limb-wise uint32 sums stay exact for B <= 2^16 (limbs < 2^16), so one
+    # vector sum + Barrett replaces B unrolled modular adds.
+    def _batch_sum(x):
+        raw = jnp.sum(x, axis=0, dtype=jnp.uint32)  # limbs < B * 2^16
+        return F.barrett_reduce(F.carry_prop(raw, 32))
+
+    gi_scalars = _batch_sum(gi_contrib)
+    hi_scalars = _batch_sum(hi_contrib)
+    if mn < max_mn:
+        pad = jnp.zeros((max_mn - mn, NLIMBS), jnp.uint32)
+        gi_scalars = jnp.concatenate([gi_scalars, pad], axis=0)
+        hi_scalars = jnp.concatenate([hi_scalars, pad], axis=0)
+
+    # Commitment scalars: -e^2 z^{2(j+1)} y^{mn+1} * weight  -> (B, m, 16)
+    weighted = F.neg_l(
+        F.mul_l(F.mul_l(e_square, y_nm_1)[:, None], F.mul_l(z2_pows, weight[:, None]))
+    )
+
+    # h_base: weight*(r1 y s1 + e^2(y_nm_1 z d_sum + (z^2-z) y_sum)) - sum_j weighted_j*min_j
+    h_contrib = F.mul_l(
+        weight,
+        F.add_l(
+            F.mul_l(F.mul_l(r1, y), s1),
+            F.mul_l(
+                e_square,
+                F.add_l(
+                    F.mul_l(F.mul_l(y_nm_1, z), d_sum),
+                    F.mul_l(F.sub_l(z_square, z), y_sum),
+                ),
+            ),
+        ),
+    )
+    min_terms = F.mul_l(weighted, min_values)  # (B, m, 16)
+    for j in range(m):
+        h_contrib = F.sub_l(h_contrib, min_terms[:, j])
+    h_base_scalar = _batch_sum(h_contrib[:, None, :])[0]
+
+    # g_base: weight * d1 summed over batch -> (deg, 16)
+    g_base_scalars = _batch_sum(F.mul_l(weight[:, None], d1))
+
+    # Per-proof dynamic scalars
+    a1_s = F.neg_l(F.mul_l(weight, e))
+    b_s = F.neg_l(weight)
+    a_s = F.neg_l(F.mul_l(weight, e_square))
+    w_e2 = F.neg_l(F.mul_l(weight, e_square))
+    li_s = F.mul_l(w_e2[:, None], ch_sq)
+    ri_s = F.mul_l(w_e2[:, None], ch_sq_inv)
+
+    return gi_scalars, hi_scalars, g_base_scalars, h_base_scalar, weighted, a1_s, b_s, a_s, li_s, ri_s
+
+
+@jax.jit
+def decompress_batch(compressed_limbs: jnp.ndarray):
+    """(N, 16) compressed limbs -> (PointArray, valid mask)."""
+    return rist.decompress(compressed_limbs)
+
+
+@jax.jit
+def final_msm_is_identity(scalars: jnp.ndarray, points: PointArray) -> jnp.ndarray:
+    """One folded MSM, compared against the identity."""
+    return rist.is_identity(msm_kernel(scalars, points))
+
+
+@jax.jit
+def mixed_msm_is_identity(
+    static_scalars: jnp.ndarray,
+    tables: PointArray,
+    dynamic_scalars: jnp.ndarray,
+    dynamic_points: PointArray,
+) -> jnp.ndarray:
+    """Static (precomputed tables) + dynamic (ladder) MSM == identity —
+    the final batch-verification check (range_proof.rs:1050-1062)."""
+    from ..ops.fixed_base import mixed_msm
+
+    return rist.is_identity(
+        mixed_msm(static_scalars, tables, dynamic_scalars, dynamic_points)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side orchestration helpers
+# ---------------------------------------------------------------------------
+
+
+def _scalars_to_limbs(values: Sequence[int]) -> jnp.ndarray:
+    return jnp.asarray(pack_ints([v % L for v in values]))
+
+
+def _points_bytes_to_limbs(blobs: Sequence[bytes]) -> np.ndarray:
+    return limbs_from_bytes(np.stack([np.frombuffer(b, dtype=np.uint8) for b in blobs]))
+
+
+class DeviceVerifier:
+    """Orchestrates the device pipeline for one same-shape group of proofs.
+
+    Produces the group's static gi/hi scalar accumulators and its flattened
+    dynamic (scalar, point) arrays; `RangeProof._verify` combines the groups
+    and runs the single final MSM.
+    """
+
+    @staticmethod
+    def group_contributions(
+        statements,
+        proofs,
+        challenges,  # list of (y, z, round_es, e) per proof
+        weights: List[int],
+        bit_length: int,
+        extension_degree: int,
+        max_mn: int,
+    ):
+        m = len(statements[0].commitments)
+        rounds = len(proofs[0].li)
+        B = len(proofs)
+
+        y = _scalars_to_limbs([c[0] for c in challenges])
+        z = _scalars_to_limbs([c[1] for c in challenges])
+        round_es = jnp.asarray(
+            np.stack([pack_ints(list(c[2])) for c in challenges])
+        )  # (B, rounds, 16)
+        e = _scalars_to_limbs([c[3] for c in challenges])
+        w = _scalars_to_limbs(weights)
+        r1 = _scalars_to_limbs([p.r1 for p in proofs])
+        s1 = _scalars_to_limbs([p.s1 for p in proofs])
+        d1 = jnp.asarray(np.stack([pack_ints(list(p.d1)) for p in proofs]))
+        min_values = jnp.asarray(
+            np.stack(
+                [
+                    pack_ints([v or 0 for v in s.minimum_value_promises])
+                    for s in statements
+                ]
+            )
+        )
+
+        (
+            gi_scalars,
+            hi_scalars,
+            g_base_scalars,
+            h_base_scalar,
+            commit_s,
+            a1_s,
+            b_s,
+            a_s,
+            li_s,
+            ri_s,
+        ) = scalar_pass(
+            y, z, round_es, e, w, r1, s1, d1, min_values,
+            m=m, bit_length=bit_length, extension_degree=extension_degree, max_mn=max_mn,
+        )
+
+        # Dynamic points: per proof [commitments..., a1, b, a, li..., ri...]
+        blobs: List[bytes] = []
+        for statement, proof in zip(statements, proofs):
+            blobs.extend(statement.commitments_compressed)
+            blobs.append(proof.a1)
+            blobs.append(proof.b)
+            blobs.append(proof.a)
+            blobs.extend(proof.li)
+            blobs.extend(proof.ri)
+        comp = jnp.asarray(_points_bytes_to_limbs(blobs))
+        points, valid = decompress_batch(comp)
+        valid_np = np.asarray(valid)
+
+        # Canonicality errors, with reference-parity messages
+        K = m + 3 + 2 * rounds
+        if not valid_np.all():
+            from ..errors import InvalidArgument
+
+            j = int(np.argmin(valid_np)) % K
+            if j < m:
+                raise InvalidArgument("A commitment was not the canonical encoding of a point")
+            if j < m + 3:
+                name = ("a1", "b", "a")[j - m]
+                raise InvalidArgument(f"Member '{name}' was not the canonical encoding of a point")
+            raise InvalidArgument("An item in member 'L' was not the canonical encoding of a point")
+
+        # Matching dynamic scalars, flattened in the same per-proof order
+        dyn_scalars = jnp.concatenate(
+            [commit_s, a1_s[:, None], b_s[:, None], a_s[:, None], li_s, ri_s], axis=1
+        ).reshape(B * K, 16)
+
+        return (gi_scalars, hi_scalars, g_base_scalars, h_base_scalar, dyn_scalars, points)

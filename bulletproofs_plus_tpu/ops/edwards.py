@@ -110,6 +110,13 @@ def cond_add(mask: jnp.ndarray, acc: PointArray, p: PointArray) -> PointArray:
     return select(mask, add(acc, p), acc)
 
 
+def _identity_like(p: PointArray) -> PointArray:
+    """Identity points with p's batch shape, inheriting p's sharding/vma
+    (needed so lax.scan carries type-match inside shard_map)."""
+    never = jnp.zeros(p.batch_shape, dtype=bool)
+    return select(never, p, identity(p.batch_shape))
+
+
 def _scalar_bit(scalar: jnp.ndarray, i: int) -> jnp.ndarray:
     """Bit i (LSB order) of (..., 16) uint32 limb scalars -> bool (...)."""
     return ((scalar[..., i // 16] >> jnp.uint32(i % 16)) & 1) == 1
@@ -132,7 +139,7 @@ def scalar_mul(scalar: jnp.ndarray, p: PointArray, bits: int = 256) -> PointArra
         base = double(base)
         return (acc, base), None
 
-    acc0 = identity(p.batch_shape)
+    acc0 = _identity_like(p)
     (acc, _), _ = jax.lax.scan(body, (acc0, p), bit_idx)
     return acc
 
@@ -151,7 +158,7 @@ def double_scalar_mul(
         acc = cond_add(((lb >> (i % 16)) & 1) == 1, acc, bq)
         return (acc, double(bp), double(bq)), None
 
-    acc0 = identity(p.batch_shape)
+    acc0 = _identity_like(p)
     (acc, _, _), _ = jax.lax.scan(body, (acc0, p, q), bit_idx)
     return acc
 

@@ -60,26 +60,76 @@ def _const(arr: np.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _shift_limbs(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Shift limbs towards higher indices by k, zero-filling (value * b^k)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
+
+
+def _kogge_stone_carry(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """carry_in[i] = g[i-1] | (p[i-1] & carry_in[i-1]) via log-depth closure.
+
+    g = "this limb generates a carry", p = "this limb propagates one".
+    Returns the carry (0/1 uint32) arriving INTO each limb.  Flat vector ops
+    (Kogge-Stone) instead of a sequential ripple — keeps compiled graphs
+    small and dependency chains log-depth.
+    """
+    G = _shift_limbs(g, 1)
+    P = _shift_limbs(p, 1)
+    n = g.shape[-1]
+    d = 1
+    while d < n:
+        Gs = _shift_limbs(G, d)
+        Ps = _shift_limbs(P, d)
+        G = G | (P & Gs)
+        P = P & Ps
+        d *= 2
+    return G
+
+
 def carry_prop(x: jnp.ndarray, out_limbs: int | None = None) -> jnp.ndarray:
-    """Full carry propagation; limbs of x may be up to ~2^31.
+    """Full carry propagation; limbs of x may be up to 2^32 - 1.
 
     Returns (..., out_limbs) with limbs < 2^16; out_limbs defaults to n+1.
     The final limb accumulates the carry-out (caller must size/fold it).
+
+    Two carry-save passes reduce limbs to <= 2^16, then one carry-lookahead
+    pass resolves the remaining 0/1 ripple exactly.
     """
     n = x.shape[-1]
     if out_limbs is None:
         out_limbs = n + 1
-    outs = []
-    c = jnp.zeros(x.shape[:-1], dtype=jnp.uint32)
-    for i in range(n):
-        v = x[..., i] + c
-        outs.append(v & _MASKV)
-        c = v >> _U16
-    for _ in range(n, out_limbs - 1):
-        outs.append(c & _MASKV)
-        c = c >> _U16
-    outs.append(c)
-    return jnp.stack(outs[:out_limbs], axis=-1)
+    if out_limbs > n:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (out_limbs - n,), jnp.uint32)], axis=-1
+        )
+    else:
+        assert out_limbs == n, "carry_prop cannot truncate"
+    # Pass 1: limbs < 2^17 (carry < 2^16 shifted up one limb)
+    x = (x & _MASKV) + _shift_limbs(x >> _U16, 1)
+    # Pass 2: limbs <= 2^16 (carry <= 1)
+    x = (x & _MASKV) + _shift_limbs(x >> _U16, 1)
+    # Lookahead: resolve the remaining 0/1 carries in one shot
+    g = x >> _U16  # generate (0/1)
+    p = ((x & _MASKV) == _MASKV).astype(jnp.uint32)  # propagate
+    carry_in = _kogge_stone_carry(g, p)
+    return (x + carry_in) & _MASKV
+
+
+def _conv_antidiag(a: jnp.ndarray) -> jnp.ndarray:
+    """out[..., k] = sum_i a[..., i, k-i] — polynomial-product accumulation
+    of an (..., na, nb) product grid into (..., na+nb-1) coefficients.
+
+    Implemented as pad+reshape+sum (the strided-diagonal trick): a handful of
+    cheap reshapes instead of na dynamic-update-slice ops, which keeps scan
+    bodies small for XLA and vectorises the reduction on the VPU.
+    """
+    na, nb = a.shape[-2], a.shape[-1]
+    width = na + nb - 1
+    padded = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (na,), a.dtype)], axis=-1)
+    flat = padded.reshape(a.shape[:-2] + (na * (nb + na),))
+    diag = flat[..., : na * width].reshape(a.shape[:-2] + (na, width))
+    return jnp.sum(diag, axis=-2, dtype=a.dtype)
 
 
 def mul_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -87,27 +137,28 @@ def mul_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     accumulation overflow).  Returns (..., na+nb) carried limbs (< 2^16)."""
     na, nb = a.shape[-1], b.shape[-1]
     prod = a[..., :, None] * b[..., None, :]  # (..., na, nb), exact in uint32
-    lo = prod & _MASKV
-    hi = prod >> _U16
-    acc = jnp.zeros(prod.shape[:-2] + (na + nb,), dtype=jnp.uint32)
-    for i in range(na):
-        acc = acc.at[..., i : i + nb].add(lo[..., i, :])
-        acc = acc.at[..., i + 1 : i + 1 + nb].add(hi[..., i, :])
+    lo = _conv_antidiag(prod & _MASKV)  # (..., na+nb-1), limbs < 2^21
+    hi = _conv_antidiag(prod >> _U16)
+    zero = jnp.zeros(lo.shape[:-1] + (1,), jnp.uint32)
+    acc = jnp.concatenate([lo, zero], axis=-1) + jnp.concatenate([zero, hi], axis=-1)
     # max limb ~ 2*min(na,nb)*2^16 < 2^22 for na,nb <= 32: safe
     return carry_prop(acc, na + nb)
 
 
 def sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """a - b over equal-width limb vectors. Returns (diff, borrow_out)."""
-    n = a.shape[-1]
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for i in range(n):
-        bi = b[..., i] + borrow
-        d = a[..., i] - bi  # wraps in uint32; masked below
-        borrow = (a[..., i] < bi).astype(jnp.uint32)
-        outs.append(d & _MASKV)
-    return jnp.stack(outs, axis=-1), borrow
+    """a - b over equal-width canonical (< 2^16) limb vectors.
+
+    Returns (diff, borrow_out); borrow-lookahead (flat ops, log depth).
+    """
+    g = (a < b).astype(jnp.uint32)  # generates a borrow
+    p = (a == b).astype(jnp.uint32)  # propagates one
+    borrow_in = _kogge_stone_carry(g, p)
+    diff = (a - b - borrow_in) & _MASKV
+    # borrow out of the top limb: generate there, or propagate + borrow_in
+    g_top = g[..., -1]
+    p_top = p[..., -1]
+    borrow_out = g_top | (p_top & borrow_in[..., -1])
+    return diff, borrow_out
 
 
 def geq(a: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:

@@ -103,15 +103,42 @@ def pad_msm_inputs(scalars: jnp.ndarray, points: PointArray, target: int | None 
 
 
 def tree_reduce(points: PointArray) -> PointArray:
-    """Binary-tree sum of a power-of-two batch of points -> single point."""
+    """Sum a power-of-two batch of points into one point.
+
+    Two-phase reduction built from exactly two point-add bodies (keeps the
+    compiled graph small — unrolled log-depth trees made XLA compiles scale
+    with MSM size):
+      1. a lax.scan over rows of a (R, C) reshape — O(n) work, one body;
+      2. a shift-add halving loop over the final C lanes.
+    """
     n = points.x.shape[0]
     assert n & (n - 1) == 0, "tree_reduce needs power-of-two lanes"
-    while n > 1:
-        n //= 2
-        lo = PointArray(*(c[:n] for c in points))
-        hi = PointArray(*(c[n : 2 * n] for c in points))
-        points = ed.add(lo, hi)
-    return PointArray(*(c[0] for c in points))
+    if n == 1:
+        return PointArray(*(c[0] for c in points))
+    C = min(n, 512)
+    R = n // C
+
+    if R > 1:
+        rows = PointArray(*(c.reshape(R, C, NLIMBS) for c in points))
+        first = PointArray(*(c[0] for c in rows))
+        rest = PointArray(*(c[1:] for c in rows))
+
+        def row_body(acc, row):
+            return ed.add(acc, row), None
+
+        acc, _ = jax.lax.scan(row_body, first, rest)
+    else:
+        acc = points
+
+    steps = C.bit_length() - 1
+
+    def halve_body(k, acc):
+        offset = jnp.int32(C) >> (k + 1)
+        rolled = PointArray(*(jnp.roll(c, -offset, axis=0) for c in acc))
+        return ed.add(acc, rolled)
+
+    acc = jax.lax.fori_loop(0, steps, halve_body, acc)
+    return PointArray(*(c[0] for c in acc))
 
 
 @jax.jit

@@ -1,1 +1,5 @@
-"""Multi-chip sharding: device meshes, sharded MSM, batch-axis parallelism."""
+"""Multi-chip parallelism: device meshes and sharded MSM collectives."""
+
+from .sharded_msm import make_mesh, pad_for_mesh, sharded_msm_fn
+
+__all__ = ["make_mesh", "pad_for_mesh", "sharded_msm_fn"]

@@ -2,12 +2,25 @@
 
 Multi-chip sharding paths are validated on virtual CPU devices
 (xla_force_host_platform_device_count); real-TPU execution is exercised by
-bench.py / the driver.  Must run before jax is imported anywhere.
+bench.py / the driver.
+
+Note: this environment's sitecustomize imports jax at interpreter boot (TPU
+tunnel plugin), so env vars alone are too late — the platform must be forced
+through jax.config before the first backend query.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the limb-arithmetic kernels compile slowly on
+# XLA CPU; caching makes repeated test runs cheap.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

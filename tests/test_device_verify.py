@@ -1,0 +1,102 @@
+"""Device verification engine vs the host oracle, plus fixed-base tables and
+the sharded MSM — all on the virtual CPU mesh (see conftest.py).
+
+Kept to one tiny proof shape per kernel: XLA CPU compiles of the ladder
+scans dominate runtime, and one shape exercises the full code path.
+"""
+
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bulletproofs_plus_tpu import (
+    CommitmentOpening,
+    ExtensionDegree,
+    RangeParameters,
+    RangeProof,
+    RangeStatement,
+    RangeWitness,
+    SeededRng,
+    Transcript,
+    VerificationFailed,
+    VerifyAction,
+    create_pedersen_gens_with_extension_degree,
+)
+from bulletproofs_plus_tpu.ops import edwards as ed
+from bulletproofs_plus_tpu.ops import host_ristretto as hr
+from bulletproofs_plus_tpu.ops.limbs import pack_ints
+from bulletproofs_plus_tpu.ops.msm import host_msm
+
+
+def _det(tag: str) -> int:
+    return int.from_bytes(hashlib.shake_256(tag.encode()).digest(64), "little") % hr.L
+
+
+@pytest.fixture(scope="module")
+def small_batch():
+    pc = create_pedersen_gens_with_extension_degree(ExtensionDegree.DEFAULT_PEDERSEN)
+    params = RangeParameters.init(4, 1, pc)
+    rng = SeededRng(31337)
+    statements, witnesses, proofs = [], [], []
+    for i in range(2):
+        v, r = 3 + i, _det(f"dv-blind-{i}")
+        c = pc.commit(v, [r])
+        s = RangeStatement.init(params, [c], [None], _det(f"dv-seed-{i}"))
+        w = RangeWitness.init([CommitmentOpening(v, [r])])
+        proofs.append(RangeProof.prove_with_rng(Transcript(b"dev"), s, w, rng))
+        statements.append(s)
+        witnesses.append(w)
+    return pc, params, statements, witnesses, proofs
+
+
+def test_device_engine_matches_host(small_batch):
+    pc, params, statements, witnesses, proofs = small_batch
+    masks_host = RangeProof.verify_batch(
+        [Transcript(b"dev"), Transcript(b"dev")], statements, proofs,
+        VerifyAction.RECOVER_AND_VERIFY,
+    )
+    masks_dev = RangeProof.verify_batch(
+        [Transcript(b"dev"), Transcript(b"dev")], statements, proofs,
+        VerifyAction.RECOVER_AND_VERIFY, engine="device",
+    )
+    for mh, md, w in zip(masks_host, masks_dev, witnesses):
+        assert mh == md
+        assert md.blindings() == w.openings[0].r
+
+
+def test_device_engine_rejects_tampered(small_batch):
+    pc, params, statements, witnesses, proofs = small_batch
+    bad = RangeProof.from_bytes(proofs[0].to_bytes())
+    bad.r1 = (bad.r1 + 1) % hr.L
+    with pytest.raises(VerificationFailed):
+        RangeProof.verify_batch(
+            [Transcript(b"dev"), Transcript(b"dev")], statements, [bad, proofs[1]],
+            VerifyAction.VERIFY_ONLY, engine="device",
+        )
+
+
+def test_fixed_base_tables_match_host():
+    from bulletproofs_plus_tpu.ops.fixed_base import build_tables, fixed_msm
+
+    S = 4
+    scalars = [_det(f"fb-s-{i}") for i in range(S)]
+    points = [hr.point_mul(_det(f"fb-p-{i}"), hr.BASEPOINT) for i in range(S)]
+    tables = build_tables(ed.from_host(points))
+    out = fixed_msm(jnp.asarray(pack_ints(scalars)), tables)
+    assert hr.point_equal(ed.to_host(out), host_msm(scalars, points))
+
+
+def test_sharded_msm_matches_host():
+    from bulletproofs_plus_tpu.parallel import make_mesh, pad_for_mesh, sharded_msm_fn
+
+    n = 11
+    scalars = [_det(f"sh-s-{i}") for i in range(n)]
+    points = [hr.point_mul(_det(f"sh-p-{i}"), hr.BASEPOINT) for i in range(n)]
+    fn = sharded_msm_fn(make_mesh())
+    s = jnp.asarray(pack_ints(scalars))
+    p = ed.from_host(points)
+    s, p = pad_for_mesh(s, p, len(jax.devices()))
+    out = fn(s, p)
+    assert hr.point_equal(ed.to_host(out), host_msm(scalars, points))
