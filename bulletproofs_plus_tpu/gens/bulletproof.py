@@ -32,6 +32,7 @@ class BulletproofGens:
         "h_vec",
         "_interleaved_device",
         "_fixed_tables",
+        "_fixed_tables_sliced",
     )
 
     def __init__(self, gens_capacity: int, party_capacity: int):
@@ -49,6 +50,7 @@ class BulletproofGens:
         ]
         self._interleaved_device = None
         self._fixed_tables = None
+        self._fixed_tables_sliced = {}
 
     def g_iter(self, n: int, m: int) -> List[hr.Point]:
         """First n of each of the first m parties' G generators, flattened."""
@@ -86,3 +88,13 @@ class BulletproofGens:
 
             self._fixed_tables = build_tables(self.interleaved_device())
         return self._fixed_tables
+
+    def fixed_tables_sliced(self, n_static: int):
+        """Tables restricted to the first n_static interleaved generators
+        (cached per size — avoids re-slicing multi-MB arrays every verify)."""
+        if n_static not in self._fixed_tables_sliced:
+            full = self.fixed_tables()
+            self._fixed_tables_sliced[n_static] = type(full)(
+                *(c[:, :, :n_static] for c in full)
+            )
+        return self._fixed_tables_sliced[n_static]

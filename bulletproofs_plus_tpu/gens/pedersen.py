@@ -70,6 +70,19 @@ class PedersenGens:
     g_base_vec: List[hr.Point]
     g_base_compressed_vec: List[bytes]
     extension_degree: ExtensionDegree
+    _device_bases: tuple = field(default=None, compare=False, repr=False)
+
+    def device_bases(self):
+        """(g_bases PointArray (deg,), h_base PointArray (1,)), cached."""
+        if self._device_bases is None:
+            from ..ops.edwards import from_host
+
+            object.__setattr__(
+                self,
+                "_device_bases",
+                (from_host(self.g_base_vec), from_host([self.h_base])),
+            )
+        return self._device_bases
 
     def commit(self, value: int, blindings: Sequence[int]) -> hr.Point:
         """C = value*H + sum_k blindings[k]*G_k

@@ -1,0 +1,441 @@
+"""Batched device prover: B same-shape proofs in lockstep.
+
+TPU-native counterpart of the reference's prover (range_proof.rs:232-608).
+The reference proves one statement at a time on one core; here the batch is
+an array axis end-to-end:
+
+  * all B Fiat-Shamir transcripts advance together through one
+    numpy-vectorised STROBE sponge (utils/merlin.py);
+  * bit vectors, folding scalars, and the gi/hi generator vectors live on
+    device as (B, n, 16)-limb arrays / (B, n) point arrays;
+  * each inner-product round runs two vmapped MSM ladders (L, R), one
+    batched compression, and one batched fold — the only host work is the
+    transcript hash between rounds (the protocol's inherent sync points,
+    SURVEY.md §3.1);
+  * the A commitment uses the precomputed fixed-base tables.
+
+Shapes are static per (B, bit_length, m, extension_degree), so the prover
+compiles one kernel set per shape (log2(mn) round sizes), cached across
+calls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import InvalidArgument, InvalidLength
+from ..gens.pedersen import ExtensionDegree
+from ..ops import edwards as ed
+from ..ops import field as F
+from ..ops import host_ristretto as hr
+from ..ops import ristretto as rist
+from ..ops.edwards import PointArray
+from ..ops.fixed_base import fixed_msm
+from ..ops.limbs import NLIMBS, bytes_from_limbs, int_from_limbs, pack_ints
+from ..ops.msm import msm_kernel, pad_msm_inputs
+from ..utils.hashing import nonce
+from ..utils.merlin import Transcript
+from .statement import RangeStatement, RangeWitness
+from .transcripts import RangeProofTranscript
+
+L = hr.L
+
+
+def _limbs(values: Sequence[int]) -> jnp.ndarray:
+    return jnp.asarray(pack_ints([v % L for v in values]))
+
+
+def _compress_to_bytes(points: PointArray) -> np.ndarray:
+    """(B,) points -> (B, 32) uint8 canonical encodings."""
+    s = np.asarray(rist.compress(points))
+    return bytes_from_limbs(s)
+
+
+@jax.jit
+def _compress(points: PointArray) -> jnp.ndarray:
+    return rist.compress(points)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "bit_length"))
+def _prove_vectors(a_li, a_ri, y, z, *, m, bit_length):
+    """Full post-challenge preparation: returns updated a_li, a_ri, y_powers."""
+    from .verifier_kernels import _power_ladder
+
+    B = y.shape[0]
+    mn = m * bit_length
+    one = jnp.broadcast_to(jnp.asarray(pack_ints([1])[0]), y.shape)
+    y_powers = _power_ladder(y, one, mn + 2)
+    z_square = F.sqr_l(z)
+
+    two_pows = jnp.asarray(pack_ints([pow(2, i, L) for i in range(bit_length)]))
+    z2_pows = _power_ladder(z_square, z_square, m)  # z^{2(j+1)}
+    d = F.mul_l(z2_pows[:, :, None, :], two_pows[None, None, :, :]).reshape(B, mn, NLIMBS)
+
+    a_li2 = F.sub_l(a_li, z[:, None])
+    y_rev = jnp.flip(y_powers[:, 1 : mn + 1], axis=1)  # y^{mn-i} for i in 0..mn
+    a_ri2 = F.add_l(a_ri, F.add_l(F.mul_l(d, y_rev), z[:, None]))
+    return a_li2, a_ri2, y_powers
+
+
+@functools.partial(jax.jit, static_argnames=("half",))
+def _round_lr(a_li, a_ri, gi, hi, y_powers, y_n_inv, d_l, d_r, h_base, g_bases, *, half):
+    """One folding round's L/R computation (range_proof.rs:409-495 analog).
+
+    a_li/a_ri: (B, 2*half, 16); gi/hi: (B, 2*half) points;
+    y_powers: (B, >=2*half+2, 16); y_n_inv: (B, 16); d_l/d_r: (B, deg, 16);
+    h_base: (1,) point; g_bases: (deg,) point.
+    Returns (L, R compressed (B,16), a_lo_offset, a_hi_offset carried state).
+    """
+    n = half
+    a_lo, a_hi = a_li[:, :n], a_li[:, n:]
+    b_lo, b_hi = a_ri[:, :n], a_ri[:, n:]
+    y_n = y_powers[:, n]
+
+    a_lo_offset = F.mul_l(a_lo, y_n_inv[:, None])
+    a_hi_offset = F.mul_l(a_hi, y_n[:, None])
+
+    # c_l = sum_i a_lo[i] * y^{1+i} * b_hi[i]; c_r with y^{n+1+i} and swapped
+    def _batched_dot(a, ypows, b):
+        prod = F.mul_l(F.mul_l(a, ypows), b)  # (B, n, 16)
+        raw = jnp.sum(prod, axis=1, dtype=jnp.uint32)
+        return F.barrett_reduce(F.carry_prop(raw, 32))
+
+    c_l = _batched_dot(a_lo, y_powers[:, 1 : n + 1], b_hi)
+    c_r = _batched_dot(a_hi, y_powers[:, n + 1 : 2 * n + 1], b_lo)
+
+    B = a_li.shape[0]
+    deg = d_l.shape[1]
+    gi_lo = PointArray(*(c[:, :n] for c in gi))
+    gi_hi = PointArray(*(c[:, n:] for c in gi))
+    hi_lo = PointArray(*(c[:, :n] for c in hi))
+    hi_hi = PointArray(*(c[:, n:] for c in hi))
+
+    hb = PointArray(*(jnp.broadcast_to(c[None], (B, 1, NLIMBS)) for c in h_base))
+    gb = PointArray(*(jnp.broadcast_to(c[None], (B, deg, NLIMBS)) for c in g_bases))
+
+    def lane_msm(scalars, points):
+        s, p = pad_msm_inputs(scalars, points)
+        return msm_kernel(s, p)
+
+    l_scalars = jnp.concatenate([c_l[:, None], d_l, a_lo_offset, b_hi], axis=1)
+    l_points = PointArray(
+        *(
+            jnp.concatenate([h, g, ghi, hlo], axis=1)
+            for h, g, ghi, hlo in zip(hb, gb, gi_hi, hi_lo)
+        )
+    )
+    r_scalars = jnp.concatenate([c_r[:, None], d_r, a_hi_offset, b_lo], axis=1)
+    r_points = PointArray(
+        *(
+            jnp.concatenate([h, g, glo, hhi], axis=1)
+            for h, g, glo, hhi in zip(hb, gb, gi_lo, hi_hi)
+        )
+    )
+
+    l_pt = jax.vmap(lane_msm)(l_scalars, l_points)
+    r_pt = jax.vmap(lane_msm)(r_scalars, r_points)
+    return rist.compress(l_pt), rist.compress(r_pt), a_lo_offset, a_hi_offset
+
+
+@jax.jit
+def _round_fold(a_li, a_ri, gi, hi, a_hi_offset, e, e_inv, y_n_inv):
+    """Fold state by the round challenge (range_proof.rs:510-537 analog)."""
+    n = a_li.shape[1] // 2
+    a_lo, _ = a_li[:, :n], a_li[:, n:]
+    b_lo, b_hi = a_ri[:, :n], a_ri[:, n:]
+    gi_lo = PointArray(*(c[:, :n] for c in gi))
+    gi_hi = PointArray(*(c[:, n:] for c in gi))
+    hi_lo = PointArray(*(c[:, :n] for c in hi))
+    hi_hi = PointArray(*(c[:, n:] for c in hi))
+
+    e_y_n_inv = F.mul_l(e, y_n_inv)
+    B = e.shape[0]
+
+    def _bcast(s):
+        return jnp.broadcast_to(s[:, None], (B, n, NLIMBS))
+
+    gi2 = ed.double_scalar_mul(_bcast(e_inv), gi_lo, _bcast(e_y_n_inv), gi_hi)
+    hi2 = ed.double_scalar_mul(_bcast(e), hi_lo, _bcast(e_inv), hi_hi)
+    a_li2 = F.add_l(F.mul_l(a_lo, e[:, None]), F.mul_l(a_hi_offset, e_inv[:, None]))
+    a_ri2 = F.add_l(F.mul_l(b_lo, e_inv[:, None]), F.mul_l(b_hi, e[:, None]))
+    return a_li2, a_ri2, gi2, hi2
+
+
+@jax.jit
+def _final_points(gi0, hi0, r, s, d_mask, eta, ry_ar, rys, h_base, g_bases):
+    """A1 and B (range_proof.rs:573-584 analog), batched.
+
+    gi0/hi0: (B,) points; r, s: (B,16); d_mask/eta: (B,deg,16);
+    ry_ar = r*y*a_ri0 + s*y*a_li0: (B,16); rys = r*y*s: (B,16).
+    """
+    B = r.shape[0]
+    deg = d_mask.shape[1]
+    hb = PointArray(*(jnp.broadcast_to(c[None], (B, 1, NLIMBS)) for c in h_base))
+    gb = PointArray(*(jnp.broadcast_to(c[None], (B, deg, NLIMBS)) for c in g_bases))
+
+    def lane_msm(scalars, points):
+        s_, p_ = pad_msm_inputs(scalars, points)
+        return msm_kernel(s_, p_)
+
+    a1_scalars = jnp.concatenate([r[:, None], s[:, None], ry_ar[:, None], d_mask], axis=1)
+    a1_points = PointArray(
+        *(
+            jnp.concatenate([g0[:, None], h0[:, None], h, g], axis=1)
+            for g0, h0, h, g in zip(gi0, hi0, hb, gb)
+        )
+    )
+    b_scalars = jnp.concatenate([rys[:, None], eta], axis=1)
+    b_points = PointArray(*(jnp.concatenate([h, g], axis=1) for h, g in zip(hb, gb)))
+
+    a1 = jax.vmap(lane_msm)(a1_scalars, a1_points)
+    b = jax.vmap(lane_msm)(b_scalars, b_points)
+    return rist.compress(a1), rist.compress(b)
+
+
+@jax.jit
+def _commit_a(static_scalars, tables, dyn_scalars, dyn_points):
+    """A = interleave(a_li, a_ri)·interleaved_gens + alpha·g_bases, batched."""
+
+    def lane(s, ds, dp):
+        stat = fixed_msm(s, tables)
+        ds2, dp2 = pad_msm_inputs(ds, dp)
+        return ed.add(stat, msm_kernel(ds2, dp2))
+
+    return rist.compress(jax.vmap(lane, in_axes=(0, 0, 0))(static_scalars, dyn_scalars, dyn_points))
+
+
+def prove_batch_with_rng(
+    transcripts: List[Transcript],
+    statements: Sequence[RangeStatement],
+    witnesses: Sequence[RangeWitness],
+    rng,
+) -> list:
+    """Prove B same-shape statements in lockstep on device.
+
+    All statements must share generators, bit length, aggregation factor and
+    extension degree, and either all or none carry a seed nonce; transcripts
+    must be at identical sponge positions (fresh transcripts with the same
+    label qualify).  Proof bytes are identical to sequential
+    `RangeProof.prove_with_rng` calls with the same per-lane RNG streams.
+    """
+    from .range_proof import RangeProof
+
+    B = len(statements)
+    if not (len(transcripts) == len(witnesses) == B and B > 0):
+        raise InvalidArgument("Batch prove needs equal non-empty inputs")
+    gens = statements[0].generators
+    bit_length = gens.bit_length()
+    m = len(statements[0].commitments)
+    extension_degree = int(gens.extension_degree())
+    mn = m * bit_length
+    rounds = mn.bit_length() - 1
+    seeded = statements[0].seed_nonce is not None
+    for statement, witness in zip(statements, witnesses):
+        if statement.generators is not gens and (
+            statement.generators.g_bases_compressed() != gens.g_bases_compressed()
+            or statement.generators.h_base_compressed() != gens.h_base_compressed()
+            or statement.generators.bit_length() != bit_length
+        ):
+            raise InvalidArgument("Batch prove needs identical generators")
+        if len(statement.commitments) != m:
+            raise InvalidArgument("Batch prove needs a uniform aggregation factor")
+        if (statement.seed_nonce is not None) != seeded:
+            raise InvalidArgument("Batch prove needs uniform seed nonce presence")
+        if len(witness.openings) != m:
+            raise InvalidLength("Witness openings and statement commitments do not match!")
+        if int(witness.extension_degree) != extension_degree:
+            raise InvalidLength("Witness and statement extension degrees do not match!")
+        for opening in witness.openings:
+            if bit_length < 64 and opening.v >> bit_length > 0:
+                raise InvalidLength("Value exceeds bit vector capacity!")
+        for opening, commitment in zip(witness.openings, statement.commitments):
+            if not hr.point_equal(gens.pc_gens.commit(opening.v, opening.r), commitment):
+                raise InvalidArgument("Witness opening is invalid!")
+
+    # Batched transcript with witness bytes per lane
+    witness_bytes = []
+    for witness in witnesses:
+        wb = bytearray()
+        for opening in witness.openings:
+            wb += opening.v.to_bytes(8, "little")
+            for r_ in opening.r:
+                wb += hr.scalar_to_bytes(r_)
+        witness_bytes.append(np.frombuffer(bytes(wb), dtype=np.uint8))
+    wb_arr = np.stack(witness_bytes)
+
+    stacked = Transcript.stack(transcripts)
+    rpt = RangeProofTranscript(
+        stacked,
+        gens.h_base_compressed(),
+        gens.g_bases_compressed(),
+        bit_length,
+        extension_degree,
+        m,
+        [
+            np.stack([np.frombuffer(s.commitments_compressed[j], dtype=np.uint8) for s in statements])
+            for j in range(m)
+        ],
+        [[s.minimum_value_promises[j] for s in statements] for j in range(m)],
+        wb_arr,
+        rng,
+    )
+
+    # Bit decomposition (host ints are fine: B*mn small), then device limbs
+    a_li_bits = np.zeros((B, mn), dtype=np.uint32)
+    for lane, (statement, witness) in enumerate(zip(statements, witnesses)):
+        col = 0
+        for minimum_value, opening in zip(statement.minimum_value_promises, witness.openings):
+            if minimum_value is not None:
+                if minimum_value > opening.v:
+                    raise InvalidArgument("Minimum value is larger than value")
+                offset_value = opening.v - minimum_value
+            else:
+                offset_value = opening.v
+            for i in range(bit_length):
+                a_li_bits[lane, col] = (offset_value >> i) & 1
+                col += 1
+    a_li = jnp.zeros((B, mn, NLIMBS), jnp.uint32).at[:, :, 0].set(a_li_bits)
+    minus_one = jnp.asarray(pack_ints([L - 1])[0])
+    a_ri = F.select(
+        jnp.asarray(a_li_bits == 1),
+        jnp.zeros((B, mn, NLIMBS), jnp.uint32),
+        jnp.broadcast_to(minus_one, (B, mn, NLIMBS)),
+    )
+
+    # alpha masks (host scalars; nonces or lockstep RNG draws)
+    if seeded:
+        alpha = [
+            [nonce(s.seed_nonce, "alpha", None, k) for s in statements]
+            for k in range(extension_degree)
+        ]  # [k][lane]
+    else:
+        alpha = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
+
+    # A commitment: static interleave(a_li, a_ri) + dynamic alpha.g_bases
+    static_scalars = jnp.stack([a_li, a_ri], axis=2).reshape(B, 2 * mn, NLIMBS)
+    tables = gens.bp_gens.fixed_tables_sliced(2 * mn)
+    g_bases_dev, h_base_dev = gens.pc_gens.device_bases()
+    alpha_dev = jnp.stack([_limbs(alpha[k]) for k in range(extension_degree)], axis=1)  # (B,deg,16)
+    gb_b = PointArray(*(jnp.broadcast_to(c[None], (B, extension_degree, NLIMBS)) for c in g_bases_dev))
+    a_comp = _commit_a(static_scalars, tables, alpha_dev, gb_b)
+    a_bytes = bytes_from_limbs(np.asarray(a_comp))
+
+    y_list, z_list = rpt.challenges_y_z(a_bytes)
+    y_dev, z_dev = _limbs(y_list), _limbs(z_list)
+    a_li, a_ri, y_powers = _prove_vectors(a_li, a_ri, y_dev, z_dev, m=m, bit_length=bit_length)
+
+    # alpha += z^{2(j+1)} * r_jk * y^{mn+1} (host ints, tiny)
+    for lane, (statement, witness) in enumerate(zip(statements, witnesses)):
+        z, y = z_list[lane], y_list[lane]
+        y_mn1 = pow(y, mn + 1, L)
+        z_even = 1
+        z_sq = z * z % L
+        for opening in witness.openings:
+            z_even = z_even * z_sq % L
+            for k, r_ in enumerate(opening.r):
+                alpha[k][lane] = (alpha[k][lane] + z_even * r_ % L * y_mn1) % L
+
+    # Generator vectors, broadcast per lane
+    gi_host = gens.gi_base()[:mn]
+    hi_host = gens.hi_base()[:mn]
+    gi = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in ed.from_host(gi_host)))
+    hi = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in ed.from_host(hi_host)))
+
+    li_bytes: List[np.ndarray] = []
+    ri_bytes: List[np.ndarray] = []
+    n = mn
+    round_idx = 0
+    while n > 1:
+        n //= 2
+        y_n_list = [int_from_limbs(row) for row in np.asarray(y_powers[:, n])]
+        y_n_inv = _limbs([pow(v, -1, L) for v in y_n_list])
+
+        if seeded:
+            d_l = [[nonce(s.seed_nonce, "dL", round_idx, k) for s in statements] for k in range(extension_degree)]
+            d_r = [[nonce(s.seed_nonce, "dR", round_idx, k) for s in statements] for k in range(extension_degree)]
+        else:
+            d_l = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
+            d_r = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
+        round_idx += 1
+        d_l_dev = jnp.stack([_limbs(d_l[k]) for k in range(extension_degree)], axis=1)
+        d_r_dev = jnp.stack([_limbs(d_r[k]) for k in range(extension_degree)], axis=1)
+
+        l_comp, r_comp, a_lo_off, a_hi_off = _round_lr(
+            a_li, a_ri, gi, hi, y_powers, y_n_inv, d_l_dev, d_r_dev,
+            h_base_dev, g_bases_dev, half=n,
+        )
+        li_bytes.append(bytes_from_limbs(np.asarray(l_comp)))
+        ri_bytes.append(bytes_from_limbs(np.asarray(r_comp)))
+
+        e_list = rpt.challenge_round_e(li_bytes[-1], ri_bytes[-1])
+        e_inv_list = [pow(e, -1, L) for e in e_list]
+        e_dev, e_inv_dev = _limbs(e_list), _limbs(e_inv_list)
+        a_li, a_ri, gi, hi = _round_fold(a_li, a_ri, gi, hi, a_hi_off, e_dev, e_inv_dev, y_n_inv)
+
+        for k in range(extension_degree):
+            for lane in range(B):
+                e, e_inv = e_list[lane], e_inv_list[lane]
+                alpha[k][lane] = (alpha[k][lane] + d_l[k][lane] * e % L * e + d_r[k][lane] * e_inv % L * e_inv) % L
+
+    # Final masks
+    r_list = rpt.rng().random_not_zero()
+    s_list = rpt.rng().random_not_zero()
+    if seeded:
+        d_mask = [[nonce(s.seed_nonce, "d", None, k) for s in statements] for k in range(extension_degree)]
+        eta = [[nonce(s.seed_nonce, "eta", None, k) for s in statements] for k in range(extension_degree)]
+    else:
+        d_mask = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
+        eta = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
+
+    a_li_host = [int_from_limbs(row) for row in np.asarray(a_li[:, 0])]
+    a_ri_host = [int_from_limbs(row) for row in np.asarray(a_ri[:, 0])]
+    y1_host = [int_from_limbs(row) for row in np.asarray(y_powers[:, 1])]
+    ry_ar = _limbs(
+        [
+            (r_ * y1 % L * ar + s_ * y1 % L * al) % L
+            for r_, s_, y1, al, ar in zip(r_list, s_list, y1_host, a_li_host, a_ri_host)
+        ]
+    )
+    rys = _limbs([r_ * y1 % L * s_ % L for r_, s_, y1 in zip(r_list, s_list, y1_host)])
+    gi0 = PointArray(*(c[:, 0] for c in gi))
+    hi0 = PointArray(*(c[:, 0] for c in hi))
+    d_mask_dev = jnp.stack([_limbs(d_mask[k]) for k in range(extension_degree)], axis=1)
+    eta_dev = jnp.stack([_limbs(eta[k]) for k in range(extension_degree)], axis=1)
+    a1_comp, b_comp = _final_points(
+        gi0, hi0, _limbs(r_list), _limbs(s_list), d_mask_dev, eta_dev,
+        ry_ar, rys, h_base_dev, g_bases_dev,
+    )
+    a1_bytes = bytes_from_limbs(np.asarray(a1_comp))
+    b_bytes = bytes_from_limbs(np.asarray(b_comp))
+
+    e_list = rpt.challenge_final_e(a1_bytes, b_bytes)
+
+    proofs = []
+    for lane in range(B):
+        e = e_list[lane]
+        e_sq = e * e % L
+        r1 = (r_list[lane] + a_li_host[lane] * e) % L
+        s1 = (s_list[lane] + a_ri_host[lane] * e) % L
+        d1 = [
+            (eta[k][lane] + d_mask[k][lane] * e + alpha[k][lane] * e_sq) % L
+            for k in range(extension_degree)
+        ]
+        proofs.append(
+            RangeProof(
+                a=a_bytes[lane].tobytes(),
+                a1=a1_bytes[lane].tobytes(),
+                b=b_bytes[lane].tobytes(),
+                r1=r1,
+                s1=s1,
+                d1=d1,
+                li=[lb[lane].tobytes() for lb in li_bytes],
+                ri=[rb[lane].tobytes() for rb in ri_bytes],
+                extension_degree=ExtensionDegree.from_int(extension_degree),
+            )
+        )
+    return proofs

@@ -130,6 +130,20 @@ class RangeProof:
         return RangeProof.prove_with_rng(transcript, statement, witness, rng or OsRng())
 
     @staticmethod
+    def prove_batch_with_rng(
+        transcripts: List[Transcript],
+        statements: Sequence[RangeStatement],
+        witnesses: Sequence[RangeWitness],
+        rng,
+    ) -> List["RangeProof"]:
+        """Prove B same-shape statements in lockstep on device — the batched
+        TPU prover (models/prover_device.py).  Bit-identical to sequential
+        `prove_with_rng` calls fed the same per-lane RNG streams."""
+        from .prover_device import prove_batch_with_rng as _impl
+
+        return _impl(transcripts, statements, witnesses, rng)
+
+    @staticmethod
     def prove_with_rng(
         transcript: Transcript,
         statement: RangeStatement,
@@ -497,6 +511,30 @@ class RangeProof:
             key = (len(statement.commitments), len(proof.li))
             groups.setdefault(key, []).append(idx)
 
+        tables_ = max_statement.generators.bp_gens.fixed_tables_sliced(2 * max_mn)
+        g_base_pts, h_base_pt = gens.pc_gens.device_bases()
+
+        if len(groups) == 1:
+            # Fast path: the whole verification in ONE jitted dispatch
+            from .verifier_kernels import DeviceVerifier, verify_group_full
+
+            ((m, rounds),) = groups.keys()
+            packed = DeviceVerifier.pack(statements, proofs, batch_challenges, weights)
+            ok, valid = verify_group_full(
+                *packed,
+                tables_,
+                g_base_pts,
+                h_base_pt,
+                m=m,
+                bit_length=bit_length,
+                extension_degree=extension_degree,
+                max_mn=max_mn,
+            )
+            DeviceVerifier.raise_canonicality(_np.asarray(valid), m, rounds)
+            if not bool(ok):
+                raise VerificationFailed("Range proof batch not valid")
+            return masks
+
         gi_total = jnp.zeros((max_mn, _NLIMBS), jnp.uint32)
         hi_total = jnp.zeros((max_mn, _NLIMBS), jnp.uint32)
         g_base_total = jnp.zeros((extension_degree, _NLIMBS), jnp.uint32)
@@ -523,12 +561,9 @@ class RangeProof:
         # Static half: interleaved gi/hi scalars against the precomputed
         # fixed-base tables (the Precomputable analog)
         static_scalars = jnp.stack([gi_total, hi_total], axis=1).reshape(2 * max_mn, _NLIMBS)
-        tables_full = max_statement.generators.bp_gens.fixed_tables()
-        tables = type(tables_full)(*(c[:, :, : 2 * max_mn] for c in tables_full))
+        tables = tables_
 
         # Dynamic half: per-proof points + Pedersen bases, ladder MSM
-        g_base_pts = ed.from_host(gens.g_bases())
-        h_base_pt = ed.from_host([gens.h_base()])
         dyn_scalars = jnp.concatenate(
             dyn_scalar_parts + [g_base_total, h_base_total[None]], axis=0
         )

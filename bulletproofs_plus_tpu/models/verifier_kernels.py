@@ -243,6 +243,53 @@ def decompress_batch(compressed_limbs: jnp.ndarray):
     return rist.decompress(compressed_limbs)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn")
+)
+def verify_group_full(
+    y, z, round_es, e, weight, r1, s1, d1, min_values,
+    comp_limbs,  # (B*K, 16): [commitments, a1, b, a, li, ri] per proof
+    tables,  # fixed-base tables sliced to 2*max_mn lanes
+    g_base_pts,  # (deg,) points
+    h_base_pt,  # (1,) point
+    *, m, bit_length, extension_degree, max_mn,
+):
+    """Single-group fast path: the ENTIRE device verification in one jit —
+    scalar pass, batched decompression, dynamic scalar assembly, and the
+    mixed static+dynamic MSM identity check.  One dispatch, zero eager ops.
+
+    Returns (ok: bool, valid: (B*K,) decompression mask).
+    """
+    from ..ops.fixed_base import mixed_msm
+    from ..ops.msm import pad_msm_inputs
+
+    B = y.shape[0]
+    rounds = round_es.shape[1]
+    K = m + 3 + 2 * rounds
+
+    (gi, hi, gb, hb, commit_s, a1_s, b_s, a_s, li_s, ri_s) = scalar_pass(
+        y, z, round_es, e, weight, r1, s1, d1, min_values,
+        m=m, bit_length=bit_length, extension_degree=extension_degree, max_mn=max_mn,
+    )
+    points, valid = rist.decompress(comp_limbs)
+
+    dyn_scalars = jnp.concatenate(
+        [commit_s, a1_s[:, None], b_s[:, None], a_s[:, None], li_s, ri_s], axis=1
+    ).reshape(B * K, NLIMBS)
+    dyn_scalars = jnp.concatenate([dyn_scalars, gb, hb[None]], axis=0)
+    dyn_points = PointArray(
+        *(
+            jnp.concatenate([c, gpc, hpc], axis=0)
+            for c, gpc, hpc in zip(points, g_base_pts, h_base_pt)
+        )
+    )
+    dyn_scalars, dyn_points = pad_msm_inputs(dyn_scalars, dyn_points)
+
+    static_scalars = jnp.stack([gi, hi], axis=1).reshape(2 * max_mn, NLIMBS)
+    ok = rist.is_identity(mixed_msm(static_scalars, tables, dyn_scalars, dyn_points))
+    return ok, valid
+
+
 @jax.jit
 def final_msm_is_identity(scalars: jnp.ndarray, points: PointArray) -> jnp.ndarray:
     """One folded MSM, compared against the identity."""
@@ -287,6 +334,58 @@ class DeviceVerifier:
     """
 
     @staticmethod
+    def pack(statements, proofs, challenges, weights):
+        """Pack a same-shape group's scalars and compressed points into
+        device arrays: returns (y, z, round_es, e, w, r1, s1, d1,
+        min_values, comp_limbs)."""
+        m = len(statements[0].commitments)
+        rounds = len(proofs[0].li)
+        B = len(proofs)
+
+        y = _scalars_to_limbs([c[0] for c in challenges])
+        z = _scalars_to_limbs([c[1] for c in challenges])
+        round_es = jnp.asarray(
+            pack_ints([e for c in challenges for e in c[2]]).reshape(B, rounds, 16)
+        )
+        e = _scalars_to_limbs([c[3] for c in challenges])
+        w = _scalars_to_limbs(weights)
+        r1 = _scalars_to_limbs([p.r1 for p in proofs])
+        s1 = _scalars_to_limbs([p.s1 for p in proofs])
+        deg = len(proofs[0].d1)
+        d1 = jnp.asarray(pack_ints([v for p in proofs for v in p.d1]).reshape(B, deg, 16))
+        min_values = jnp.asarray(
+            pack_ints(
+                [v or 0 for s in statements for v in s.minimum_value_promises]
+            ).reshape(B, m, 16)
+        )
+        blobs: List[bytes] = []
+        for statement, proof in zip(statements, proofs):
+            blobs.extend(statement.commitments_compressed)
+            blobs.append(proof.a1)
+            blobs.append(proof.b)
+            blobs.append(proof.a)
+            blobs.extend(proof.li)
+            blobs.extend(proof.ri)
+        comp = jnp.asarray(_points_bytes_to_limbs(blobs))
+        return y, z, round_es, e, w, r1, s1, d1, min_values, comp
+
+    @staticmethod
+    def raise_canonicality(valid_np: np.ndarray, m: int, rounds: int) -> None:
+        """Reference-parity decompression error messages."""
+        if valid_np.all():
+            return
+        from ..errors import InvalidArgument
+
+        K = m + 3 + 2 * rounds
+        j = int(np.argmin(valid_np)) % K
+        if j < m:
+            raise InvalidArgument("A commitment was not the canonical encoding of a point")
+        if j < m + 3:
+            name = ("a1", "b", "a")[j - m]
+            raise InvalidArgument(f"Member '{name}' was not the canonical encoding of a point")
+        raise InvalidArgument("An item in member 'L' was not the canonical encoding of a point")
+
+    @staticmethod
     def group_contributions(
         statements,
         proofs,
@@ -300,23 +399,8 @@ class DeviceVerifier:
         rounds = len(proofs[0].li)
         B = len(proofs)
 
-        y = _scalars_to_limbs([c[0] for c in challenges])
-        z = _scalars_to_limbs([c[1] for c in challenges])
-        round_es = jnp.asarray(
-            np.stack([pack_ints(list(c[2])) for c in challenges])
-        )  # (B, rounds, 16)
-        e = _scalars_to_limbs([c[3] for c in challenges])
-        w = _scalars_to_limbs(weights)
-        r1 = _scalars_to_limbs([p.r1 for p in proofs])
-        s1 = _scalars_to_limbs([p.s1 for p in proofs])
-        d1 = jnp.asarray(np.stack([pack_ints(list(p.d1)) for p in proofs]))
-        min_values = jnp.asarray(
-            np.stack(
-                [
-                    pack_ints([v or 0 for v in s.minimum_value_promises])
-                    for s in statements
-                ]
-            )
+        y, z, round_es, e, w, r1, s1, d1, min_values, comp = DeviceVerifier.pack(
+            statements, proofs, challenges, weights
         )
 
         (
@@ -335,33 +419,11 @@ class DeviceVerifier:
             m=m, bit_length=bit_length, extension_degree=extension_degree, max_mn=max_mn,
         )
 
-        # Dynamic points: per proof [commitments..., a1, b, a, li..., ri...]
-        blobs: List[bytes] = []
-        for statement, proof in zip(statements, proofs):
-            blobs.extend(statement.commitments_compressed)
-            blobs.append(proof.a1)
-            blobs.append(proof.b)
-            blobs.append(proof.a)
-            blobs.extend(proof.li)
-            blobs.extend(proof.ri)
-        comp = jnp.asarray(_points_bytes_to_limbs(blobs))
         points, valid = decompress_batch(comp)
-        valid_np = np.asarray(valid)
-
-        # Canonicality errors, with reference-parity messages
-        K = m + 3 + 2 * rounds
-        if not valid_np.all():
-            from ..errors import InvalidArgument
-
-            j = int(np.argmin(valid_np)) % K
-            if j < m:
-                raise InvalidArgument("A commitment was not the canonical encoding of a point")
-            if j < m + 3:
-                name = ("a1", "b", "a")[j - m]
-                raise InvalidArgument(f"Member '{name}' was not the canonical encoding of a point")
-            raise InvalidArgument("An item in member 'L' was not the canonical encoding of a point")
+        DeviceVerifier.raise_canonicality(np.asarray(valid), m, rounds)
 
         # Matching dynamic scalars, flattened in the same per-proof order
+        K = m + 3 + 2 * rounds
         dyn_scalars = jnp.concatenate(
             [commit_s, a1_s[:, None], b_s[:, None], a_s[:, None], li_s, ri_s], axis=1
         ).reshape(B * K, 16)

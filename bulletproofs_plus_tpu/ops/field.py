@@ -20,6 +20,7 @@ Reduction strategies (chosen for TPU, not ported):
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -116,20 +117,34 @@ def carry_prop(x: jnp.ndarray, out_limbs: int | None = None) -> jnp.ndarray:
     return (x + carry_in) & _MASKV
 
 
+@functools.lru_cache(maxsize=None)
+def _antidiag_matrix(na: int, nb: int) -> np.ndarray:
+    """One-hot (na*nb, na+nb-1) f32 matrix T with T[i*nb+j, i+j] = 1.
+
+    Cached as numpy (never a traced value) — converted per use site so jit
+    traces see a fresh constant."""
+    width = na + nb - 1
+    t = np.zeros((na * nb, width), dtype=np.float32)
+    for i in range(na):
+        for j in range(nb):
+            t[i * nb + j, i + j] = 1.0
+    return t
+
+
 def _conv_antidiag(a: jnp.ndarray) -> jnp.ndarray:
     """out[..., k] = sum_i a[..., i, k-i] — polynomial-product accumulation
     of an (..., na, nb) product grid into (..., na+nb-1) coefficients.
 
-    Implemented as pad+reshape+sum (the strided-diagonal trick): a handful of
-    cheap reshapes instead of na dynamic-update-slice ops, which keeps scan
-    bodies small for XLA and vectorises the reduction on the VPU.
+    Implemented as one MXU matmul against a constant one-hot matrix: entries
+    are < 2^16 and row sums accumulate < 2^21, both exact in float32, so the
+    MXU (with HIGHEST precision) does the anti-diagonal reduction in a single
+    systolic pass — this is where the field multiplier's FLOPs land.
     """
     na, nb = a.shape[-2], a.shape[-1]
-    width = na + nb - 1
-    padded = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (na,), a.dtype)], axis=-1)
-    flat = padded.reshape(a.shape[:-2] + (na * (nb + na),))
-    diag = flat[..., : na * width].reshape(a.shape[:-2] + (na, width))
-    return jnp.sum(diag, axis=-2, dtype=a.dtype)
+    t = jnp.asarray(_antidiag_matrix(na, nb))
+    flat = a.reshape(a.shape[:-2] + (na * nb,)).astype(jnp.float32)
+    out = jnp.dot(flat, t, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    return out.astype(jnp.uint32)
 
 
 def mul_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -51,13 +51,9 @@ def build_tables(points: PointArray) -> PointArray:
 
 def _digits(scalars: jnp.ndarray) -> jnp.ndarray:
     """(S, 16) uint32 limbs -> (N_WINDOWS, S) 4-bit digits, window-major."""
-    lo = scalars & jnp.uint32(0xF)
-    mid1 = (scalars >> jnp.uint32(4)) & jnp.uint32(0xF)
-    mid2 = (scalars >> jnp.uint32(8)) & jnp.uint32(0xF)
-    hi = (scalars >> jnp.uint32(12)) & jnp.uint32(0xF)
-    # limb k holds digit windows 4k..4k+3
-    stacked = jnp.stack([lo, mid1, mid2, hi], axis=-1)  # (S, 16, 4)
-    return stacked.reshape(scalars.shape[0], N_WINDOWS).T.astype(jnp.int32)
+    from .msm import digits4
+
+    return digits4(scalars)
 
 
 @jax.jit

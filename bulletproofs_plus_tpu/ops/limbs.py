@@ -58,10 +58,27 @@ def bytes_from_limbs(limbs: np.ndarray) -> np.ndarray:
 
 
 def pack_ints(values, nlimbs: int = NLIMBS) -> np.ndarray:
-    """Host: list of python ints -> (len, nlimbs) uint32."""
-    return np.stack([limbs_from_int(v, nlimbs) for v in values]) if values else np.zeros((0, nlimbs), np.uint32)
+    """Host: list of python ints (< 2^(16*nlimbs)) -> (len, nlimbs) uint32.
+
+    Vectorised through a bytes buffer — no per-limb Python loop."""
+    values = list(values)
+    if not values:
+        return np.zeros((0, nlimbs), np.uint32)
+    nbytes = 2 * nlimbs
+    data = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(len(values), nbytes)
+    lo = arr[:, 0::2].astype(np.uint32)
+    hi = arr[:, 1::2].astype(np.uint32)
+    return lo | (hi << np.uint32(8))
 
 
 def unpack_ints(arr) -> list:
+    """Host: (n, nlimbs) canonical limbs -> list of python ints."""
     a = np.asarray(arr)
-    return [int_from_limbs(a[i]) for i in range(a.shape[0])]
+    if a.shape[0] == 0:
+        return []
+    if (a >> 16).any():  # non-canonical limbs: slow exact path
+        return [int_from_limbs(a[i]) for i in range(a.shape[0])]
+    data = bytes_from_limbs(a).tobytes()
+    w = a.shape[-1] * 2
+    return [int.from_bytes(data[i * w : (i + 1) * w], "little") for i in range(a.shape[0])]

@@ -141,15 +141,42 @@ def tree_reduce(points: PointArray) -> PointArray:
     return PointArray(*(c[0] for c in acc))
 
 
+def digits4(scalars: jnp.ndarray) -> jnp.ndarray:
+    """(N, 16) uint32 limbs -> (64, N) 4-bit digits, window-major (LSB first)."""
+    parts = [(scalars >> jnp.uint32(4 * k)) & jnp.uint32(0xF) for k in range(4)]
+    stacked = jnp.stack(parts, axis=-1)  # (N, 16, 4): limb-major, then nibble
+    n = scalars.shape[0]
+    return stacked.reshape(n, 64).T.astype(jnp.int32)
+
+
 @jax.jit
 def msm_kernel(scalars: jnp.ndarray, points: PointArray) -> PointArray:
     """sum_i scalars[i] * points[i]; lanes must already be a power of two.
 
-    256-iteration ladder (shared across lanes) then tree reduction.  Fixed
-    shape; secret-independent control flow.
+    4-bit windowed ladder: one 15-add table scan (T[d] = d*P per lane), then
+    64 windows of (4 doublings + 1 table-gather add), then tree reduction.
+    ~370 point ops per lane vs 512 for plain double-and-add; fixed shape,
+    secret-independent control flow.
     """
-    per_lane = ed.scalar_mul(scalars, points)
-    return tree_reduce(per_lane)
+    n = scalars.shape[0]
+    zero = ed._identity_like(points)
+
+    def tab_step(acc, _):
+        return ed.add(acc, points), acc
+
+    _, table = jax.lax.scan(tab_step, zero, None, length=16)  # table[d] = d*P
+
+    digits = jnp.flip(digits4(scalars), axis=0)  # MSB window first
+
+    def win_body(acc, digit):
+        for _ in range(4):
+            acc = ed.double(acc)
+        idx = jnp.broadcast_to(digit[None, :, None], (1, n, NLIMBS))
+        sel = PointArray(*(jnp.take_along_axis(c, idx, axis=0)[0] for c in table))
+        return ed.add(acc, sel), None
+
+    acc, _ = jax.lax.scan(win_body, zero, digits)
+    return tree_reduce(acc)
 
 
 def device_msm(scalars: Sequence[int], points: Sequence[hr.Point]) -> hr.Point:

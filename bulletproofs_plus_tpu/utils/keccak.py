@@ -72,11 +72,24 @@ _THETA_C_IDX = np.array([[x + 5 * y for y in range(5)] for x in range(5)])  # (5
 def keccak_f1600(state: np.ndarray) -> np.ndarray:
     """Apply Keccak-f[1600] to a batch of states.
 
+    Uses the native C kernel (bulletproofs_plus_tpu.native) when a system
+    compiler is available; the numpy path below is the portable fallback and
+    the correctness oracle.
+
     Args:
       state: (..., 25) uint64 array, lane i = x + 5*y, little-endian lanes.
     Returns:
       new (..., 25) uint64 array.
     """
+    from ..native import keccak_lib
+
+    lib = keccak_lib()
+    if lib is not None:
+        out = np.ascontiguousarray(state, dtype=np.uint64).copy()
+        batch = int(np.prod(out.shape[:-1])) if out.ndim > 1 else 1
+        lib.keccak_f1600_batch(out.ctypes.data, batch)
+        return out
+
     a = state.astype(np.uint64, copy=True)
     one = np.uint64(1)
     s63 = np.uint64(63)
