@@ -322,7 +322,8 @@ def _scalars_to_limbs(values: Sequence[int]) -> jnp.ndarray:
 
 
 def _points_bytes_to_limbs(blobs: Sequence[bytes]) -> np.ndarray:
-    return limbs_from_bytes(np.stack([np.frombuffer(b, dtype=np.uint8) for b in blobs]))
+    arr = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), 32)
+    return limbs_from_bytes(arr)
 
 
 class DeviceVerifier:

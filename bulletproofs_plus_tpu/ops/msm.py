@@ -167,12 +167,17 @@ def msm_kernel(scalars: jnp.ndarray, points: PointArray) -> PointArray:
     _, table = jax.lax.scan(tab_step, zero, None, length=16)  # table[d] = d*P
 
     digits = jnp.flip(digits4(scalars), axis=0)  # MSB window first
+    d_iota = jnp.arange(16, dtype=jnp.int32)[:, None, None]  # (16, 1, 1)
 
     def win_body(acc, digit):
         for _ in range(4):
             acc = ed.double(acc)
-        idx = jnp.broadcast_to(digit[None, :, None], (1, n, NLIMBS))
-        sel = PointArray(*(jnp.take_along_axis(c, idx, axis=0)[0] for c in table))
+        # Table lookup as a masked sum (exactly one hit per lane): per-lane
+        # dynamic gathers are slow on TPU, a 16-way select+reduce is not.
+        eq = digit[None, :, None] == d_iota  # (16, n, 1)
+        sel = PointArray(
+            *(jnp.sum(jnp.where(eq, c, jnp.uint32(0)), axis=0) for c in table)
+        )
         return ed.add(acc, sel), None
 
     acc, _ = jax.lax.scan(win_body, zero, digits)

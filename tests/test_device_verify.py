@@ -77,6 +77,31 @@ def test_device_engine_rejects_tampered(small_batch):
         )
 
 
+def test_device_engine_mixed_shapes_min_values():
+    """Aggregated + non-aggregated proofs with minimum values and extension
+    degree 2, verified via the multi-group device path."""
+    pc = create_pedersen_gens_with_extension_degree(ExtensionDegree.ADD_ONE_BASE_POINT)
+    params = RangeParameters.init(4, 2, pc)
+    rng = SeededRng(999)
+
+    v1, b1 = 9, [_det("dvm-1a"), _det("dvm-1b")]
+    s1 = RangeStatement.init(params, [pc.commit(v1, b1)], [4], None)
+    w1 = RangeWitness.init([CommitmentOpening(v1, b1)])
+    p1 = RangeProof.prove_with_rng(Transcript(b"devm"), s1, w1, rng)
+
+    vals, blinds = [3, 12], [[_det("dvm-2a"), _det("dvm-2b")], [_det("dvm-2c"), _det("dvm-2d")]]
+    cs = [pc.commit(v, b) for v, b in zip(vals, blinds)]
+    s2 = RangeStatement.init(params, cs, [None, 7], None)
+    w2 = RangeWitness.init([CommitmentOpening(v, b) for v, b in zip(vals, blinds)])
+    p2 = RangeProof.prove_with_rng(Transcript(b"devm"), s2, w2, rng)
+
+    masks = RangeProof.verify_batch(
+        [Transcript(b"devm"), Transcript(b"devm")], [s1, s2], [p1, p2],
+        VerifyAction.VERIFY_ONLY, engine="device",
+    )
+    assert masks == [None, None]
+
+
 def test_fixed_base_tables_match_host():
     from bulletproofs_plus_tpu.ops.fixed_base import build_tables, fixed_msm
 
