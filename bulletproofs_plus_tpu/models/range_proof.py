@@ -427,11 +427,15 @@ class RangeProof:
         action: VerifyAction,
         msm_backend: Optional[str] = None,
         engine: str = "host",
+        mesh=None,
     ) -> List[Optional[ExtendedMask]]:
         """Verify a batch of proofs with one folded MSM.
 
         engine="host" runs the exact-int oracle pipeline; engine="device"
-        runs the jitted TPU pipeline (models/verifier_kernels.py).
+        runs the jitted TPU pipeline (models/verifier_kernels.py).  Passing a
+        1-D `jax.sharding.Mesh` (axis "dp") with engine="device" shards the
+        proof batch across the mesh (parallel/verify.py) when the batch is a
+        single shape group divisible by the mesh size.
 
         Parity quirk (range_proof.rs:740-749): only the FIRST chunk of
         MAX_RANGE_PROOF_BATCH_SIZE=256 proofs is processed; any proofs beyond
@@ -448,7 +452,9 @@ class RangeProof:
         batch_proofs = proofs[:MAX_RANGE_PROOF_BATCH_SIZE]
         batch_transcripts = transcripts[:MAX_RANGE_PROOF_BATCH_SIZE]
         if engine == "device":
-            return RangeProof._verify_device(batch_transcripts, batch_statements, batch_proofs, action)
+            return RangeProof._verify_device(
+                batch_transcripts, batch_statements, batch_proofs, action, mesh
+            )
         return RangeProof._verify(batch_transcripts, batch_statements, batch_proofs, action, msm_backend)
 
     @staticmethod
@@ -457,6 +463,7 @@ class RangeProof:
         statements: Sequence[RangeStatement],
         proofs: Sequence["RangeProof"],
         action: VerifyAction,
+        mesh=None,
     ) -> List[Optional[ExtendedMask]]:
         """Device (TPU) verification: host Fiat-Shamir replay, then jitted
         scalar pipelines per proof shape and one folded MSM ladder."""
@@ -520,6 +527,20 @@ class RangeProof:
 
             ((m, rounds),) = groups.keys()
             packed = DeviceVerifier.pack(statements, proofs, batch_challenges, weights)
+            if mesh is not None and len(proofs) % mesh.size == 0 and len(proofs) >= mesh.size:
+                from ..parallel.verify import shard_packed, sharded_verifier
+
+                fn = sharded_verifier(
+                    mesh, m=m, bit_length=bit_length,
+                    extension_degree=extension_degree, max_mn=max_mn,
+                )
+                ok, valid = fn(
+                    *shard_packed(packed, mesh), tables_, g_base_pts, h_base_pt
+                )
+                DeviceVerifier.raise_canonicality(_np.asarray(valid), m, rounds)
+                if not bool(ok):
+                    raise VerificationFailed("Range proof batch not valid")
+                return masks
             ok, valid = verify_group_full(
                 *packed,
                 tables_,

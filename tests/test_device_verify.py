@@ -113,6 +113,37 @@ def test_fixed_base_tables_match_host():
     assert hr.point_equal(ed.to_host(out), host_msm(scalars, points))
 
 
+def test_sharded_batch_verify():
+    """dp-sharded device verification over the virtual 8-device mesh."""
+    from bulletproofs_plus_tpu.parallel.verify import make_dp_mesh
+
+    pc = create_pedersen_gens_with_extension_degree(ExtensionDegree.DEFAULT_PEDERSEN)
+    params = RangeParameters.init(4, 1, pc)
+    rng = SeededRng(1717)
+    statements, proofs = [], []
+    for i in range(8):
+        v, r = i % 16, _det(f"shv-{i}")
+        s = RangeStatement.init(params, [pc.commit(v, [r])], [None], None)
+        w = RangeWitness.init([CommitmentOpening(v, [r])])
+        proofs.append(RangeProof.prove_with_rng(Transcript(b"shv"), s, w, rng))
+        statements.append(s)
+
+    mesh = make_dp_mesh()
+    masks = RangeProof.verify_batch(
+        [Transcript(b"shv") for _ in range(8)], statements, proofs,
+        VerifyAction.VERIFY_ONLY, engine="device", mesh=mesh,
+    )
+    assert masks == [None] * 8
+
+    bad = RangeProof.from_bytes(proofs[0].to_bytes())
+    bad.s1 = (bad.s1 + 1) % hr.L
+    with pytest.raises(VerificationFailed):
+        RangeProof.verify_batch(
+            [Transcript(b"shv") for _ in range(8)], statements, [bad] + proofs[1:],
+            VerifyAction.VERIFY_ONLY, engine="device", mesh=mesh,
+        )
+
+
 def test_sharded_msm_matches_host():
     from bulletproofs_plus_tpu.parallel import make_mesh, pad_for_mesh, sharded_msm_fn
 
