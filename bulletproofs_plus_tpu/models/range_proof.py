@@ -469,7 +469,7 @@ class RangeProof:
         scalar pipelines per proof shape and one folded MSM ladder."""
         from ..ops import edwards as ed
         from ..ops import field as F
-        from .verifier_kernels import DeviceVerifier, final_msm_is_identity, pad_msm_inputs
+        from .verifier_kernels import DeviceVerifier, pad_msm_inputs
         import jax.numpy as jnp
         import numpy as _np
         from ..ops.limbs import NLIMBS as _NLIMBS

@@ -147,19 +147,46 @@ def scalar_mul(scalar: jnp.ndarray, p: PointArray, bits: int = 256) -> PointArra
 def double_scalar_mul(
     a: jnp.ndarray, p: PointArray, b: jnp.ndarray, q: PointArray, bits: int = 256
 ) -> PointArray:
-    """Batched a*P + b*Q (shared doubling chain — Straus with window 1)."""
-    bit_idx = jnp.arange(bits, dtype=jnp.uint32)
+    """Batched a*P + b*Q — Straus with shared 4-bit windows.
 
-    def body(carry, i):
-        acc, bp, bq = carry
-        la = jax.lax.dynamic_index_in_dim(a, (i // 16).astype(jnp.int32), axis=-1, keepdims=False)
-        lb = jax.lax.dynamic_index_in_dim(b, (i // 16).astype(jnp.int32), axis=-1, keepdims=False)
-        acc = cond_add(((la >> (i % 16)) & 1) == 1, acc, bp)
-        acc = cond_add(((lb >> (i % 16)) & 1) == 1, acc, bq)
-        return (acc, double(bp), double(bq)), None
+    One 15-add table scan per base, then 64 windows of (4 shared doublings +
+    2 masked-select additions): ~430 point ops vs ~1024 for the bit ladder.
+    """
+    del bits
+    zero = _identity_like(p)
 
-    acc0 = _identity_like(p)
-    (acc, _, _), _ = jax.lax.scan(body, (acc0, p, q), bit_idx)
+    def tab_step(base):
+        def step(acc, _):
+            return add(acc, base), acc
+
+        _, table = jax.lax.scan(step, zero, None, length=16)
+        return table  # table[d] = d * base, (16, ...) points
+
+    table_p = tab_step(p)
+    table_q = tab_step(q)
+
+    from .msm import digits4_nd
+
+    dig_a = jnp.flip(digits4_nd(a), axis=0)  # (64, ...) MSB window first
+    dig_b = jnp.flip(digits4_nd(b), axis=0)
+    d_iota_shape = (16,) + (1,) * (a.ndim - 1) + (1,)
+    d_iota = jnp.arange(16, dtype=jnp.int32).reshape(d_iota_shape)
+
+    def select_from(table, digit):
+        eq = digit[None, ..., None] == d_iota
+        return PointArray(
+            *(jnp.sum(jnp.where(eq, c, jnp.uint32(0)), axis=0) for c in table)
+        )
+
+    def win_body(acc, digits):
+        da, db = digits
+        for _ in range(4):
+            acc = double(acc)
+        acc = add(acc, select_from(table_p, da))
+        acc = add(acc, select_from(table_q, db))
+        return acc, None
+
+    acc, _ = jax.lax.scan(win_body, zero, (dig_a, dig_b))
     return acc
 
 

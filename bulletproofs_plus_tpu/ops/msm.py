@@ -141,12 +141,18 @@ def tree_reduce(points: PointArray) -> PointArray:
     return PointArray(*(c[0] for c in acc))
 
 
+def digits4_nd(scalars: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16) uint32 limbs -> (64, ...) 4-bit digits, window-major
+    (LSB-first along the leading axis)."""
+    parts = [(scalars >> jnp.uint32(4 * k)) & jnp.uint32(0xF) for k in range(4)]
+    stacked = jnp.stack(parts, axis=-1)  # (..., 16, 4): limb-major, then nibble
+    out = stacked.reshape(scalars.shape[:-1] + (64,))
+    return jnp.moveaxis(out, -1, 0).astype(jnp.int32)
+
+
 def digits4(scalars: jnp.ndarray) -> jnp.ndarray:
     """(N, 16) uint32 limbs -> (64, N) 4-bit digits, window-major (LSB first)."""
-    parts = [(scalars >> jnp.uint32(4 * k)) & jnp.uint32(0xF) for k in range(4)]
-    stacked = jnp.stack(parts, axis=-1)  # (N, 16, 4): limb-major, then nibble
-    n = scalars.shape[0]
-    return stacked.reshape(n, 64).T.astype(jnp.int32)
+    return digits4_nd(scalars)
 
 
 @jax.jit
