@@ -76,11 +76,11 @@ def fixed_msm(scalars: jnp.ndarray, tables: PointArray) -> PointArray:
 
     # The MSM is simply the sum of every gathered point: one flat reduction
     # over the (windows x lanes) grid.
-    from .msm import tree_reduce
+    from .msm import _reduce_width, tree_reduce
 
     flat = PointArray(*(c.reshape(N_WINDOWS * S, NLIMBS) for c in gathered))
     total = N_WINDOWS * S
-    target = 1 << (total - 1).bit_length()
+    target = _reduce_width(total)
     if target != total:
         pad = ed.identity((target - total,))
         flat = PointArray(*(jnp.concatenate([c, p], axis=0) for c, p in zip(flat, pad)))

@@ -88,11 +88,19 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def _reduce_width(n: int) -> int:
+    """Smallest lane count >= n that tree_reduce accepts: a power of two up
+    to 512, else a multiple of 512 (avoids ~2x padding waste at large n)."""
+    if n <= 512:
+        return _next_pow2(n)
+    return -(-n // 512) * 512
+
+
 def pad_msm_inputs(scalars: jnp.ndarray, points: PointArray, target: int | None = None):
-    """Pad lanes to `target` (default: next power of two) with zero scalars
-    and identity points."""
+    """Pad lanes to `target` (default: the smallest tree_reduce-compatible
+    width) with zero scalars and identity points."""
     n = scalars.shape[0]
-    m = _next_pow2(n) if target is None else target
+    m = _reduce_width(n) if target is None else target
     if m == n:
         return scalars, points
     pad = m - n
@@ -103,19 +111,20 @@ def pad_msm_inputs(scalars: jnp.ndarray, points: PointArray, target: int | None 
 
 
 def tree_reduce(points: PointArray) -> PointArray:
-    """Sum a power-of-two batch of points into one point.
+    """Sum a batch of points into one point.
 
-    Two-phase reduction built from exactly two point-add bodies (keeps the
-    compiled graph small — unrolled log-depth trees made XLA compiles scale
-    with MSM size):
+    Lane count must be a power of two up to 512, or any multiple of 512
+    beyond that (see _reduce_width).  Two-phase reduction built from exactly
+    two point-add bodies (keeps the compiled graph small — unrolled
+    log-depth trees made XLA compiles scale with MSM size):
       1. a lax.scan over rows of a (R, C) reshape — O(n) work, one body;
       2. a shift-add halving loop over the final C lanes.
     """
     n = points.x.shape[0]
-    assert n & (n - 1) == 0, "tree_reduce needs power-of-two lanes"
     if n == 1:
         return PointArray(*(c[0] for c in points))
     C = min(n, 512)
+    assert C & (C - 1) == 0 and n % C == 0, "tree_reduce needs pow2<=512 or multiple of 512 lanes"
     R = n // C
 
     if R > 1:

@@ -75,11 +75,12 @@ def sharded_msm_fn(mesh: Mesh, axis_name: str = "mp"):
 
 
 def pad_for_mesh(scalars: jnp.ndarray, points: PointArray, n_shards: int):
-    """Pad lanes so each of the n_shards gets a power-of-two chunk."""
+    """Pad lanes so each of the n_shards gets a tree_reduce-compatible chunk."""
+    from ..ops.msm import _reduce_width
+
     n = scalars.shape[0]
     per = -(-n // n_shards)
-    per_pow2 = 1 if per <= 1 else 1 << (per - 1).bit_length()
-    target = per_pow2 * n_shards
+    target = _reduce_width(per) * n_shards
     if target == n:
         return scalars, points
     pad = target - n
