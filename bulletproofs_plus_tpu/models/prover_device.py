@@ -50,17 +50,6 @@ def _limbs(values: Sequence[int]) -> jnp.ndarray:
     return jnp.asarray(pack_ints([v % L for v in values]))
 
 
-def _compress_to_bytes(points: PointArray) -> np.ndarray:
-    """(B,) points -> (B, 32) uint8 canonical encodings."""
-    s = np.asarray(rist.compress(points))
-    return bytes_from_limbs(s)
-
-
-@jax.jit
-def _compress(points: PointArray) -> jnp.ndarray:
-    return rist.compress(points)
-
-
 @functools.partial(jax.jit, static_argnames=("m", "bit_length"))
 def _prove_vectors(a_li, a_ri, y, z, *, m, bit_length):
     """Full post-challenge preparation: returns updated a_li, a_ri, y_powers."""
