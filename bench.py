@@ -1,31 +1,54 @@
 """Benchmark: batched verification throughput of 64-bit range proofs.
 
-Prints ONE JSON line:
+Prints the headline JSON line FIRST:
   {"metric": "batch_verify_64bit_proofs_per_sec", "value": N,
    "unit": "proofs/s", "vs_baseline": N/1000}
 
+then the secondary metrics demanded by BASELINE.md (per-stage timings,
+MSM points/s vs a derived speed-of-light, prove latency p50), one JSON line
+each.
+
 Baseline (BASELINE.json north star): >= 1000 aggregated 64-bit proofs/s
 batch-verified on a TPU v5e-16 slice; this benchmark runs on however many
-chips are visible (typically one) with the device verification engine
-(host Fiat-Shamir replay + jitted scalar pass + folded MSM ladder).
+chips are visible (typically one).
+
+The headline measures the steady-state serving path: a stream of 256-proof
+batches through `verify_batches_pipelined` (device replay kernel -> host
+weight draws -> fused scalar-pass/MSM kernel, with batch k+1's host half
+overlapped with batch k's device half).
+
+Set BPP_BENCH_PROVE=1 to include the batched-prover benchmark (compiles a
+6-round kernel set on first run — warm the cache first; see CLAUDE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_PROOFS_PER_SEC = 1000.0
 
+# v5e single-chip f32 matmul peak (bf16 peak 197 TFLOP/s, f32 ~1/4 of it).
+# Used only to derive the MSM speed-of-light fraction; documented estimate.
+F32_PEAK_FLOPS = 49e12
+
+
+def _emit(metric, value, unit, **extra):
+    line = {"metric": metric, "value": round(value, 3), "unit": unit}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
 
 def main() -> None:
-    import os
-
     import jax
 
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from bulletproofs_plus_tpu import (
         CommitmentOpening,
@@ -43,6 +66,7 @@ def main() -> None:
     BIT_LENGTH = 64
     DISTINCT = 4
     BATCH = 256
+    STREAM = 6  # batches per pipelined stream measurement
 
     pc_gens = create_pedersen_gens_with_extension_degree(ExtensionDegree.DEFAULT_PEDERSEN)
     params = RangeParameters.init(BIT_LENGTH, 1, pc_gens)
@@ -63,24 +87,28 @@ def main() -> None:
     statements = [statements[i % DISTINCT] for i in range(BATCH)]
     proofs = [proofs[i % DISTINCT] for i in range(BATCH)]
 
-    def run():
-        return RangeProof.verify_batch(
+    def one_batch():
+        return (
             [Transcript(b"bench") for _ in range(BATCH)],
             statements,
             proofs,
-            VerifyAction.VERIFY_ONLY,
-            engine="device",
         )
 
-    run()  # warmup/compile
+    def run_single():
+        return RangeProof.verify_batch(
+            *one_batch(), VerifyAction.VERIFY_ONLY, engine="device"
+        )
 
-    iters = 3
+    run_single()  # warmup/compile
+    run_single()
+
+    # ---- headline: pipelined stream throughput --------------------------------
+    stream = [one_batch() for _ in range(STREAM)]
+    RangeProof.verify_batches_pipelined(stream[:2], VerifyAction.VERIFY_ONLY)  # warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
+    RangeProof.verify_batches_pipelined(stream, VerifyAction.VERIFY_ONLY)
     elapsed = time.perf_counter() - t0
-
-    proofs_per_sec = BATCH * iters / elapsed
+    proofs_per_sec = BATCH * STREAM / elapsed
     print(
         json.dumps(
             {
@@ -89,8 +117,124 @@ def main() -> None:
                 "unit": "proofs/s",
                 "vs_baseline": round(proofs_per_sec / BASELINE_PROOFS_PER_SEC, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # ---- secondary: single-batch latency --------------------------------------
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_single()
+    single = (time.perf_counter() - t0) / iters
+    _emit("batch_verify_single_batch_latency_ms", single * 1e3, "ms", batch=BATCH)
+    _emit("batch_verify_unpipelined_proofs_per_sec", BATCH / single, "proofs/s")
+
+    # ---- secondary: per-stage timings (device-replay fast path) ---------------
+    from bulletproofs_plus_tpu.models.range_proof import RangeProof as RP
+    from bulletproofs_plus_tpu.models.replay_device import pack_replay_inputs, replay_fn
+    from bulletproofs_plus_tpu.models.verifier_kernels import verify_group_bytes
+    from bulletproofs_plus_tpu.ops.limbs import pack_ints
+
+    transcripts = [Transcript(b"bench") for _ in range(BATCH)]
+    stacked = Transcript.stack(transcripts)
+    gens = statements[0].generators
+    m, rounds = 1, len(proofs[0].li)
+    max_mn = m * BIT_LENGTH
+
+    t0 = time.perf_counter()
+    packed = pack_replay_inputs(statements, proofs)
+    dev_arrays = [jnp.asarray(x) for x in packed]
+    jax.block_until_ready(dev_arrays)
+    t_pack = time.perf_counter() - t0
+
+    rep = replay_fn(
+        gens.h_base_compressed(), tuple(gens.g_bases_compressed()),
+        BIT_LENGTH, 1, m, rounds,
+        stacked.strobe.pos, stacked.strobe.pos_begin, stacked.strobe.cur_flags,
+    )
+    t0 = time.perf_counter()
+    y, z, es, e, seeds, bad_id, bad_zero = rep(jnp.asarray(stacked.strobe.state), *dev_arrays)
+    seeds_np = np.asarray(seeds)
+    t_replay = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    weights = RP._draw_weights([row.tobytes() for row in seeds_np], BATCH)
+    w_dev = jnp.asarray(pack_ints(weights))
+    t_weights = time.perf_counter() - t0
+
+    tables_ = gens.bp_gens.fixed_tables_sliced(2 * max_mn)
+    g_base_pts, h_base_pt = gens.pc_gens.device_bases()
+    commits_d, min_vals_d, a_d, a1_d, b_d, li_d, ri_d, r1_d, s1_d, d1_d = dev_arrays
+    t0 = time.perf_counter()
+    ok, valid = verify_group_bytes(
+        y, z, es, e, w_dev, r1_d, s1_d, d1_d, min_vals_d,
+        commits_d, a1_d, b_d, a_d, li_d, ri_d, tables_, g_base_pts, h_base_pt,
+        m=m, bit_length=BIT_LENGTH, extension_degree=1, max_mn=max_mn,
+    )
+    assert bool(ok)
+    t_kernel = time.perf_counter() - t0
+
+    _emit("verify_stage_pack_ms", t_pack * 1e3, "ms")
+    _emit("verify_stage_replay_kernel_ms", t_replay * 1e3, "ms")
+    _emit("verify_stage_weights_ms", t_weights * 1e3, "ms")
+    _emit("verify_stage_fused_kernel_ms", t_kernel * 1e3, "ms")
+
+    # ---- secondary: MSM throughput vs derived speed-of-light ------------------
+    from bulletproofs_plus_tpu.ops import edwards as ed
+    from bulletproofs_plus_tpu.ops import host_ristretto as hr
+    from bulletproofs_plus_tpu.ops.msm import msm_kernel, pad_msm_inputs
+
+    N = BATCH * (m + 3 + 2 * rounds)  # the bench batch's dynamic MSM size
+    sc = jnp.asarray(pack_ints([(i * 0x9E3779B97F4A7C15 + 1) % hr.L for i in range(N)]))
+    base = ed.from_host([hr.BASEPOINT])
+    pts = ed.PointArray(*(jnp.broadcast_to(c, (N, 16)) for c in base))
+    sc, pts = pad_msm_inputs(sc, pts)
+    msm_kernel(sc, pts).x.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = msm_kernel(sc, pts)
+    out.x.block_until_ready()
+    t_msm = (time.perf_counter() - t0) / reps
+    lanes = int(sc.shape[0])
+    # FLOP model: ~79 point-adds/lane (15 table + 64 window-reduce), 8 field
+    # muls each; one field mul = 2 MXU matmuls (lo/hi) of (lanes,256)x(256,31)
+    flops_per_mul = 2 * 256 * 31 * 2
+    flops = lanes * 79 * 8 * flops_per_mul
+    sol = flops / F32_PEAK_FLOPS
+    _emit(
+        "msm_dynamic_points_per_sec", lanes / t_msm, "points/s",
+        lanes=lanes, kernel_ms=round(t_msm * 1e3, 3),
+        speed_of_light_ms=round(sol * 1e3, 3),
+        fraction_of_peak=round(sol / t_msm, 4),
+    )
+
+    # ---- secondary: prove latency p50 (gated: compiles a big kernel set) ------
+    if os.environ.get("BPP_BENCH_PROVE", "0") == "1":
+        PB = 32
+        pr_statements, pr_witnesses = [], []
+        for i in range(PB):
+            v, b = (1 << 62) + i, 13371337 + i
+            c = pc_gens.commit(v, [b])
+            pr_statements.append(RangeStatement.init(params, [c], [None], None))
+            pr_witnesses.append(RangeWitness.init([CommitmentOpening(v, [b])]))
+
+        def prove_run():
+            return RangeProof.prove_batch_with_rng(
+                [Transcript(b"bench-p") for _ in range(PB)],
+                pr_statements, pr_witnesses, SeededRng(42),
+            )
+
+        prove_run()  # warm/compile
+        lat = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            prove_run()
+            lat.append((time.perf_counter() - t0) / PB)
+        lat.sort()
+        _emit("prove_latency_p50_ms", lat[len(lat) // 2] * 1e3, "ms/proof", batch=PB)
+        _emit("prove_throughput_proofs_per_sec", 1.0 / lat[len(lat) // 2], "proofs/s", batch=PB)
 
 
 if __name__ == "__main__":

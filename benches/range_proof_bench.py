@@ -21,6 +21,12 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small grid")
     parser.add_argument("--engine", default="device", choices=["host", "device"])
+    parser.add_argument(
+        "--scaling",
+        action="store_true",
+        help="dp-mesh scaling table (1..N devices); on virtual CPU devices "
+        "this validates the mechanism, real speedups need real chips",
+    )
     args = parser.parse_args()
 
     import jax
@@ -90,6 +96,19 @@ def main() -> None:
                 ),
             )
 
+    # Generator creation (benches/generators.rs:21-56 parity):
+    # BulletproofGens sizes 2<<{0,3,5,7,9}, PedersenGens degrees {1, 6}
+    from bulletproofs_plus_tpu.gens.bulletproof import BulletproofGens
+
+    gen_sizes = [2, 16] if args.quick else [2 << i for i in (0, 3, 5, 7, 9)]
+    for size in gen_sizes:
+        bench(f"BulletproofGens::new size={size}", lambda: BulletproofGens(size, 1), iters=1)
+    for degree in (ExtensionDegree.DEFAULT_PEDERSEN, ExtensionDegree.ADD_FIVE_BASE_POINTS):
+        bench(
+            f"PedersenGens::with_extension_degree({int(degree)})",
+            lambda: create_pedersen_gens_with_extension_degree(degree),
+        )
+
     # Batched verification, 64-bit non-aggregated
     params = RangeParameters.init(64, 1, pc)
     opening = CommitmentOpening(123, [456])
@@ -105,6 +124,36 @@ def main() -> None:
                 VerifyAction.VERIFY_ONLY, engine=args.engine,
             ),
         )
+
+    # dp-mesh scaling table: batch verification sharded over 1..N devices
+    if args.scaling:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        n_avail = len(jax.devices())
+        sc_batch = 8 if args.quick else 32
+        sc_bits = 4 if args.quick else 64
+        sc_params = RangeParameters.init(sc_bits, 1, pc)
+        sc_open = CommitmentOpening(3, [789])
+        sc_commit = pc.commit(sc_open.v, sc_open.r)
+        sc_statement = RangeStatement.init(sc_params, [sc_commit], [None], None)
+        sc_witness = RangeWitness.init([sc_open])
+        sc_proof = RangeProof.prove_with_rng(Transcript(b"b"), sc_statement, sc_witness, rng)
+        for n_dev in (1, 2, 4, 8):
+            if n_dev > n_avail or sc_batch % n_dev:
+                continue
+            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("dp",))
+            bench(
+                f"scaling batch-verify bits={sc_bits} batch={sc_batch} devices={n_dev}",
+                lambda: RangeProof.verify_batch(
+                    [Transcript(b"b")] * sc_batch,
+                    [sc_statement] * sc_batch,
+                    [sc_proof] * sc_batch,
+                    VerifyAction.VERIFY_ONLY,
+                    engine="device",
+                    mesh=mesh,
+                ),
+            )
 
 
 if __name__ == "__main__":

@@ -51,14 +51,18 @@ def _limbs(values: Sequence[int]) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("m", "bit_length"))
-def _prove_vectors(a_li, a_ri, y, z, *, m, bit_length):
-    """Full post-challenge preparation: returns updated a_li, a_ri, y_powers."""
+def _prove_vectors(a_li, a_ri, y, y_inv, z, *, m, bit_length):
+    """Full post-challenge preparation: returns updated a_li, a_ri, y_powers,
+    y_inv_powers.  The inverse-power ladder keeps every round's y^{-n} on
+    device, so the folding loop has NO per-round device->host sync for it
+    (y_inv itself is free on host: the prover already holds y as an int)."""
     from .verifier_kernels import _power_ladder
 
     B = y.shape[0]
     mn = m * bit_length
     one = jnp.broadcast_to(jnp.asarray(pack_ints([1])[0]), y.shape)
     y_powers = _power_ladder(y, one, mn + 2)
+    y_inv_powers = _power_ladder(y_inv, one, mn + 2)
     z_square = F.sqr_l(z)
 
     two_pows = jnp.asarray(pack_ints([pow(2, i, L) for i in range(bit_length)]))
@@ -68,7 +72,7 @@ def _prove_vectors(a_li, a_ri, y, z, *, m, bit_length):
     a_li2 = F.sub_l(a_li, z[:, None])
     y_rev = jnp.flip(y_powers[:, 1 : mn + 1], axis=1)  # y^{mn-i} for i in 0..mn
     a_ri2 = F.add_l(a_ri, F.add_l(F.mul_l(d, y_rev), z[:, None]))
-    return a_li2, a_ri2, y_powers
+    return a_li2, a_ri2, y_powers, y_inv_powers
 
 
 @functools.partial(jax.jit, static_argnames=("half",))
@@ -203,6 +207,7 @@ def prove_batch_with_rng(
     statements: Sequence[RangeStatement],
     witnesses: Sequence[RangeWitness],
     rng,
+    mesh=None,
 ) -> list:
     """Prove B same-shape statements in lockstep on device.
 
@@ -211,6 +216,12 @@ def prove_batch_with_rng(
     must be at identical sponge positions (fresh transcripts with the same
     label qualify).  Proof bytes are identical to sequential
     `RangeProof.prove_with_rng` calls with the same per-lane RNG streams.
+
+    Passing a 1-D `jax.sharding.Mesh` shards the proof-lane axis across the
+    mesh: every prover kernel is batch-parallel (per-lane MSMs, folds,
+    compressions), so XLA partitions them with NO cross-device collectives —
+    pure dp scale-out.  The host transcript work is shared (one numpy sponge
+    batch) and the per-round challenge sync is one 64*B-byte gather.
     """
     from .range_proof import RangeProof
 
@@ -296,6 +307,16 @@ def prove_batch_with_rng(
         jnp.broadcast_to(minus_one, (B, mn, NLIMBS)),
     )
 
+    if mesh is not None:
+        if B % mesh.size != 0:
+            raise InvalidArgument("Batch prove mesh needs B divisible by mesh size")
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        dp = NamedSharding(mesh, P(mesh.axis_names[0]))
+        a_li = jax.device_put(a_li, dp)
+        a_ri = jax.device_put(a_ri, dp)
+
     # alpha masks (host scalars; nonces or lockstep RNG draws)
     if seeded:
         alpha = [
@@ -315,8 +336,11 @@ def prove_batch_with_rng(
     a_bytes = bytes_from_limbs(np.asarray(a_comp))
 
     y_list, z_list = rpt.challenges_y_z(a_bytes)
+    y_inv_list = [pow(y, -1, L) for y in y_list]
     y_dev, z_dev = _limbs(y_list), _limbs(z_list)
-    a_li, a_ri, y_powers = _prove_vectors(a_li, a_ri, y_dev, z_dev, m=m, bit_length=bit_length)
+    a_li, a_ri, y_powers, y_inv_powers = _prove_vectors(
+        a_li, a_ri, y_dev, _limbs(y_inv_list), z_dev, m=m, bit_length=bit_length
+    )
 
     # alpha += z^{2(j+1)} * r_jk * y^{mn+1} (host ints, tiny)
     for lane, (statement, witness) in enumerate(zip(statements, witnesses)):
@@ -341,8 +365,7 @@ def prove_batch_with_rng(
     round_idx = 0
     while n > 1:
         n //= 2
-        y_n_list = [int_from_limbs(row) for row in np.asarray(y_powers[:, n])]
-        y_n_inv = _limbs([pow(v, -1, L) for v in y_n_list])
+        y_n_inv = y_inv_powers[:, n]  # device-resident, no host sync
 
         if seeded:
             d_l = [[nonce(s.seed_nonce, "dL", round_idx, k) for s in statements] for k in range(extension_degree)]

@@ -135,13 +135,16 @@ class RangeProof:
         statements: Sequence[RangeStatement],
         witnesses: Sequence[RangeWitness],
         rng,
+        mesh=None,
     ) -> List["RangeProof"]:
         """Prove B same-shape statements in lockstep on device — the batched
         TPU prover (models/prover_device.py).  Bit-identical to sequential
-        `prove_with_rng` calls fed the same per-lane RNG streams."""
+        `prove_with_rng` calls fed the same per-lane RNG streams.  A 1-D
+        `jax.sharding.Mesh` shards the proof-lane axis (pure dp, no
+        collectives)."""
         from .prover_device import prove_batch_with_rng as _impl
 
-        return _impl(transcripts, statements, witnesses, rng)
+        return _impl(transcripts, statements, witnesses, rng, mesh=mesh)
 
     @staticmethod
     def prove_with_rng(
@@ -458,6 +461,45 @@ class RangeProof:
         return RangeProof._verify(batch_transcripts, batch_statements, batch_proofs, action, msm_backend)
 
     @staticmethod
+    def verify_batches_pipelined(
+        batches: Sequence[Tuple[List[Transcript], Sequence["RangeStatement"], Sequence["RangeProof"]]],
+        action: VerifyAction,
+        mesh=None,
+    ) -> List[List[Optional[ExtendedMask]]]:
+        """Verify a stream of proof batches on the device engine with
+        host/device overlap: while the TPU folds batch k's MSM, the host
+        replays batch k+1's Fiat-Shamir transcripts and packs its inputs
+        (JAX dispatch is asynchronous; only the final identity check blocks).
+
+        Each batch follows `verify_batch` device-engine semantics, including
+        the 256-proof cap.  The first failing batch raises immediately (in
+        order); later batches may already be in flight and are abandoned.
+        TPU-native extension — the reference API is synchronous per batch.
+        """
+        pending = []
+        results: List[List[Optional[ExtendedMask]]] = []
+        for transcripts, statements, proofs in batches:
+            if not statements or not proofs or not transcripts:
+                raise InvalidArgument("Range statements or proofs length empty")
+            if len(statements) != len(proofs):
+                raise InvalidArgument("Range statements and proofs length mismatch")
+            if len(transcripts) != len(statements):
+                raise InvalidArgument("Range statements and transcripts length mismatch")
+            finish = RangeProof._verify_device_dispatch(
+                transcripts[:MAX_RANGE_PROOF_BATCH_SIZE],
+                statements[:MAX_RANGE_PROOF_BATCH_SIZE],
+                proofs[:MAX_RANGE_PROOF_BATCH_SIZE],
+                action,
+                mesh,
+            )
+            pending.append(finish)
+            if len(pending) > 1:
+                results.append(pending.pop(0)())
+        while pending:
+            results.append(pending.pop(0)())
+        return results
+
+    @staticmethod
     def _verify_device(
         transcripts: List[Transcript],
         statements: Sequence[RangeStatement],
@@ -467,6 +509,20 @@ class RangeProof:
     ) -> List[Optional[ExtendedMask]]:
         """Device (TPU) verification: host Fiat-Shamir replay, then jitted
         scalar pipelines per proof shape and one folded MSM ladder."""
+        return RangeProof._verify_device_dispatch(transcripts, statements, proofs, action, mesh)()
+
+    @staticmethod
+    def _verify_device_dispatch(
+        transcripts: List[Transcript],
+        statements: Sequence[RangeStatement],
+        proofs: Sequence["RangeProof"],
+        action: VerifyAction,
+        mesh=None,
+    ):
+        """Run the host half (replay, weights, packing) and dispatch the
+        device kernels WITHOUT blocking; returns a zero-arg `finish` callable
+        that blocks on the device result and returns the masks (or raises) —
+        the double-buffering seam used by `verify_batches_pipelined`."""
         from ..ops import edwards as ed
         from ..ops import field as F
         from .verifier_kernels import DeviceVerifier, pad_msm_inputs
@@ -481,19 +537,41 @@ class RangeProof:
         bit_length = gens.bit_length()
         extension_degree = int(gens.extension_degree())
 
+        # Group proofs by shape
+        groups: dict = {}
+        for idx, (statement, proof) in enumerate(zip(statements, proofs)):
+            key = (len(statement.commitments), len(proof.li))
+            groups.setdefault(key, []).append(idx)
+
+        # Fastest path: single shape group, single device — challenge replay
+        # runs ON DEVICE (models/replay_device.py) and chains straight into
+        # the fused scalar-pass/MSM kernel; the host only draws weights (one
+        # native STROBE sequence over the replay's 32-byte seeds).  Malformed
+        # round counts fall back to the numpy replay, which reproduces the
+        # reference's error precedence exactly.
+        well_formed = all(
+            len(p.li) == len(p.ri) and len(p.li) < 64 and (1 << len(p.li)) == len(s.commitments) * bit_length
+            for s, p in zip(statements, proofs)
+        )
+        if len(groups) == 1 and mesh is None and well_formed:
+            try:
+                stacked = Transcript.stack(transcripts)
+            except ValueError:
+                stacked = None
+            if stacked is not None:
+                return RangeProof._dispatch_device_replay(
+                    stacked, statements, proofs, action, groups, max_statement
+                )
+
         batch_challenges, seeds = RangeProof._replay_challenges(transcripts, statements, proofs)
-        weight_transcript = Transcript(b"Bulletproofs+ verifier weights")
-        for seed in seeds:
-            weight_transcript.append_message(b"proof", seed)
-        weight_rng = weight_transcript.build_rng().finalize(NullRng())
-        weights: List[int] = []
-        for _ in proofs:
-            while True:
-                wide = weight_rng.fill_bytes(64)
-                v = int.from_bytes(wide[0].tobytes(), "little") % L
-                if v != 0:
-                    weights.append(v)
-                    break
+        weights = RangeProof._draw_weights(seeds, len(proofs))
+
+        # Pass-2 prologue in reference order (range_proof.rs:856-888): per
+        # proof, decompression of a/a1/b/li/ri precedes the length and round
+        # checks, and ALL of it precedes mask recovery — so RecoverOnly
+        # rejects non-canonical points and oversized L/R exactly like the
+        # reference.
+        RangeProof._device_structural_checks(statements, proofs, bit_length, action)
 
         masks: List[Optional[ExtendedMask]] = []
         if action == VerifyAction.VERIFY_ONLY:
@@ -502,21 +580,7 @@ class RangeProof:
             for statement, proof, challenge in zip(statements, proofs, batch_challenges):
                 masks.append(RangeProof._recover_mask(statement, proof, challenge, extension_degree))
             if action == VerifyAction.RECOVER_ONLY:
-                return masks
-
-        # Basic structural checks (the host engine does these in its loop)
-        for statement, proof in zip(statements, proofs):
-            full_length = len(statement.commitments) * bit_length
-            if len(proof.li) != len(proof.ri):
-                raise InvalidLength("Vector L length not equal to vector R length")
-            if (1 << len(proof.li)) != full_length:
-                raise InvalidLength("Vector L/R length not adequate")
-
-        # Group proofs by shape; accumulate per-group contributions
-        groups: dict = {}
-        for idx, (statement, proof) in enumerate(zip(statements, proofs)):
-            key = (len(statement.commitments), len(proof.li))
-            groups.setdefault(key, []).append(idx)
+                return lambda: masks
 
         tables_ = max_statement.generators.bp_gens.fixed_tables_sliced(2 * max_mn)
         g_base_pts, h_base_pt = gens.pc_gens.device_bases()
@@ -537,24 +601,25 @@ class RangeProof:
                 ok, valid = fn(
                     *shard_packed(packed, mesh), tables_, g_base_pts, h_base_pt
                 )
+            else:
+                ok, valid = verify_group_full(
+                    *packed,
+                    tables_,
+                    g_base_pts,
+                    h_base_pt,
+                    m=m,
+                    bit_length=bit_length,
+                    extension_degree=extension_degree,
+                    max_mn=max_mn,
+                )
+
+            def finish_group(ok=ok, valid=valid, m=m, rounds=rounds, masks=masks):
                 DeviceVerifier.raise_canonicality(_np.asarray(valid), m, rounds)
                 if not bool(ok):
                     raise VerificationFailed("Range proof batch not valid")
                 return masks
-            ok, valid = verify_group_full(
-                *packed,
-                tables_,
-                g_base_pts,
-                h_base_pt,
-                m=m,
-                bit_length=bit_length,
-                extension_degree=extension_degree,
-                max_mn=max_mn,
-            )
-            DeviceVerifier.raise_canonicality(_np.asarray(valid), m, rounds)
-            if not bool(ok):
-                raise VerificationFailed("Range proof batch not valid")
-            return masks
+
+            return finish_group
 
         gi_total = jnp.zeros((max_mn, _NLIMBS), jnp.uint32)
         hi_total = jnp.zeros((max_mn, _NLIMBS), jnp.uint32)
@@ -604,9 +669,205 @@ class RangeProof:
 
         from .verifier_kernels import mixed_msm_is_identity
 
-        if not bool(mixed_msm_is_identity(static_scalars, tables, dyn_scalars, dyn_points)):
-            raise VerificationFailed("Range proof batch not valid")
-        return masks
+        ok = mixed_msm_is_identity(static_scalars, tables, dyn_scalars, dyn_points)
+
+        def finish_mixed(ok=ok, masks=masks):
+            if not bool(ok):
+                raise VerificationFailed("Range proof batch not valid")
+            return masks
+
+        return finish_mixed
+
+    @staticmethod
+    def _dispatch_device_replay(
+        stacked: Transcript,
+        statements: Sequence[RangeStatement],
+        proofs: Sequence["RangeProof"],
+        action: VerifyAction,
+        groups: dict,
+        max_statement: RangeStatement,
+    ):
+        """Single-group fast path with the Fiat-Shamir replay ON DEVICE:
+        kernel 1 (replay) -> host weight draws -> kernel 2 (fused scalar
+        pass + decompression + folded MSM).  Total host work: one byte-level
+        pack, one native STROBE weight sequence, two dispatches."""
+        import jax.numpy as jnp
+
+        from ..ops.limbs import pack_ints, unpack_ints
+        from .replay_device import pack_replay_inputs, replay_fn
+        from .verifier_kernels import DeviceVerifier, verify_group_bytes
+
+        ((m, rounds),) = groups.keys()
+        gens = statements[0].generators
+        bit_length = gens.bit_length()
+        extension_degree = int(gens.extension_degree())
+        max_mn = m * bit_length
+        B = len(proofs)
+
+        rep = replay_fn(
+            gens.h_base_compressed(),
+            tuple(gens.g_bases_compressed()),
+            bit_length,
+            extension_degree,
+            m,
+            rounds,
+            stacked.strobe.pos,
+            stacked.strobe.pos_begin,
+            stacked.strobe.cur_flags,
+        )
+        packed = pack_replay_inputs(statements, proofs)
+        commits_d, min_vals_d, a_d, a1_d, b_d, li_d, ri_d, r1_d, s1_d, d1_d = (
+            jnp.asarray(x) for x in packed
+        )
+        y, z, es, e, seeds, bad_id, bad_zero = rep(
+            jnp.asarray(stacked.strobe.state),
+            commits_d, min_vals_d, a_d, a1_d, b_d, li_d, ri_d, r1_d, s1_d, d1_d,
+        )
+        seeds_np = np.asarray(seeds)  # blocks on kernel 1
+        if np.asarray(bad_id).any():
+            raise VerificationFailed("Identity element cannot be added to the transcript")
+        if np.asarray(bad_zero).any():  # pragma: no cover - 2^-252
+            raise VerificationFailed("Transcript challenge cannot be zero")
+        weights = RangeProof._draw_weights([row.tobytes() for row in seeds_np], B)
+
+        masks: List[Optional[ExtendedMask]] = [None] * B
+        if action != VerifyAction.VERIFY_ONLY:
+            # Mask recovery is host scalar math; pull the challenges once.
+            y_i = unpack_ints(np.asarray(y))
+            z_i = unpack_ints(np.asarray(z))
+            es_i = unpack_ints(np.asarray(es).reshape(B * rounds, -1))
+            e_i = unpack_ints(np.asarray(e))
+            RangeProof._device_structural_checks(statements, proofs, bit_length, action)
+            masks = [
+                RangeProof._recover_mask(
+                    st, pr,
+                    (y_i[k], z_i[k], es_i[k * rounds : (k + 1) * rounds], e_i[k]),
+                    extension_degree,
+                )
+                for k, (st, pr) in enumerate(zip(statements, proofs))
+            ]
+            if action == VerifyAction.RECOVER_ONLY:
+                return lambda: masks
+
+        tables_ = max_statement.generators.bp_gens.fixed_tables_sliced(2 * max_mn)
+        g_base_pts, h_base_pt = gens.pc_gens.device_bases()
+        ok, valid = verify_group_bytes(
+            y, z, es, e,
+            jnp.asarray(pack_ints(weights)),
+            r1_d, s1_d, d1_d, min_vals_d,
+            commits_d, a1_d, b_d, a_d, li_d, ri_d,
+            tables_, g_base_pts, h_base_pt,
+            m=m, bit_length=bit_length,
+            extension_degree=extension_degree, max_mn=max_mn,
+        )
+
+        def finish(ok=ok, valid=valid, m=m, rounds=rounds, masks=masks):
+            DeviceVerifier.raise_canonicality(np.asarray(valid), m, rounds)
+            if not bool(ok):
+                raise VerificationFailed("Range proof batch not valid")
+            return masks
+
+        return finish
+
+    @staticmethod
+    def _draw_weights(seeds: Sequence[bytes], n: int) -> List[int]:
+        """Deterministic per-proof batch weights (range_proof.rs:845-894):
+        a weight transcript absorbs each proof's 32-byte RNG seed, then every
+        proof draws one nonzero wide-reduced scalar.  Sequential sponge work —
+        runs as two native STROBE calls (utils/merlin.py fast paths)."""
+        weight_transcript = Transcript(b"Bulletproofs+ verifier weights")
+        weight_transcript.append_messages_seq(
+            b"proof", np.frombuffer(b"".join(seeds), dtype=np.uint8).reshape(len(seeds), 32)
+        )
+        weight_rng = weight_transcript.build_rng().finalize(NullRng())
+        st = weight_rng.strobe
+        backup = (st.state.copy(), st.pos, st.pos_begin, st.cur_flags)
+        data = weight_rng.fill_bytes_seq(n, 64).tobytes()
+        weights = [int.from_bytes(data[i * 64 : (i + 1) * 64], "little") % L for i in range(n)]
+        if 0 not in weights:
+            return weights
+        # ~2^-252: restore the sponge and replay with per-draw rejection,
+        # matching the reference's draw-until-nonzero stream exactly.
+        st.state[:], st.pos, st.pos_begin, st.cur_flags = backup  # pragma: no cover
+        weights = []  # pragma: no cover
+        while len(weights) < n:  # pragma: no cover
+            v = int.from_bytes(weight_rng.fill_bytes(64)[0].tobytes(), "little") % L
+            if v != 0:
+                weights.append(v)
+        return weights  # pragma: no cover
+
+    @staticmethod
+    def _device_structural_checks(
+        statements: Sequence[RangeStatement],
+        proofs: Sequence["RangeProof"],
+        bit_length: int,
+        action: VerifyAction,
+    ) -> None:
+        """Reference-ordered pass-2 validation (range_proof.rs:856-888).
+
+        Per proof, in batch order: decompress a, a1, b, li, ri (rejecting
+        non-canonical encodings), then li/ri length equality, then the
+        SizeOverflow round check, then 2^rounds == m*n.  On the hot
+        VERIFY_ONLY path with no length errors this is free — the fused
+        kernel performs decompression and `raise_canonicality` reports any
+        failure with the same per-proof member ordering.
+        """
+
+        def _length_error(statement, proof):
+            full_length = len(statement.commitments) * bit_length
+            rounds = len(proof.li)
+            if len(proof.li) != len(proof.ri):
+                return InvalidLength("Vector L length not equal to vector R length")
+            if rounds >= 64:
+                return SizeOverflow("Vector L/R length not adequate")
+            if (1 << rounds) != full_length:
+                return InvalidLength("Vector L/R length not adequate")
+            return None
+
+        first_error: Optional[Tuple[int, Exception]] = None
+        for idx, (statement, proof) in enumerate(zip(statements, proofs)):
+            exc = _length_error(statement, proof)
+            if exc is not None:
+                first_error = (idx, exc)
+                break
+
+        if action == VerifyAction.VERIFY_ONLY and first_error is None:
+            return
+
+        # Decompress proofs 0..=first_error_idx (all of them when recovering
+        # masks) in one batched device call; decompression failures in earlier
+        # proofs — or in the failing proof itself — take precedence, exactly
+        # like the sequential reference loop.
+        import jax.numpy as jnp
+
+        from .verifier_kernels import _points_bytes_to_limbs, decompress_batch
+
+        upto = len(proofs) if first_error is None else first_error[0] + 1
+        blobs: List[bytes] = []
+        spans: List[int] = []
+        for proof in proofs[:upto]:
+            spans.append(len(blobs))
+            blobs.append(proof.a)
+            blobs.append(proof.a1)
+            blobs.append(proof.b)
+            blobs.extend(proof.li)
+            blobs.extend(proof.ri)
+        spans.append(len(blobs))
+        valid = np.asarray(decompress_batch(jnp.asarray(_points_bytes_to_limbs(blobs)))[1])
+        for idx in range(upto):
+            lane = valid[spans[idx] : spans[idx + 1]]
+            if not lane.all():
+                j = int(np.argmin(lane))
+                if j < 3:
+                    name = ("a", "a1", "b")[j]
+                    raise InvalidArgument(
+                        f"Member '{name}' was not the canonical encoding of a point"
+                    )
+                raise InvalidArgument(
+                    "An item in member 'L' was not the canonical encoding of a point"
+                )
+        if first_error is not None:
+            raise first_error[1]
 
     @staticmethod
     def _replay_challenges(
@@ -618,11 +879,14 @@ class RangeProof:
         (y, z, round_es, e) and the 32-byte weight-transcript seed.
 
         Proofs sharing a transcript shape are replayed in lockstep through one
-        batched STROBE sponge; mixed shapes fall back per group.
+        batched STROBE sponge; mixed shapes fall back per group.  A proof
+        with len(li) != len(ri) replays min(len(li), len(ri)) rounds, like
+        the reference's zip (range_proof.rs:832-838); the length error
+        surfaces in pass 2.
         """
         groups: dict = {}
         for idx, (statement, proof) in enumerate(zip(statements, proofs)):
-            key = (len(statement.commitments), len(proof.li))
+            key = (len(statement.commitments), min(len(proof.li), len(proof.ri)))
             groups.setdefault(key, []).append(idx)
 
         challenges: List[Optional[Tuple[int, int, List[int], int]]] = [None] * len(proofs)
@@ -663,6 +927,7 @@ class RangeProof:
                     [[s.minimum_value_promises[j] for s in sts] for j in range(m)],
                     None,
                     NullRng(),
+                    lazy_rng=True,
                 )
                 y_l, z_l = rpt.challenges_y_z(np.stack([np.frombuffer(p.a, dtype=np.uint8) for p in prs]))
                 round_es: List[List[int]] = []
@@ -754,21 +1019,10 @@ class RangeProof:
 
         # Pass 1: challenge replay + weight transcript (range_proof.rs:810-853)
         batch_challenges, seeds = RangeProof._replay_challenges(transcripts, statements, proofs)
-        weight_transcript = Transcript(b"Bulletproofs+ verifier weights")
-        for seed in seeds:
-            weight_transcript.append_message(b"proof", seed)
-        weight_rng_builder = weight_transcript.build_rng()
-        weight_rng = weight_rng_builder.finalize(NullRng())
-
-        def weight_random_not_zero() -> int:
-            while True:
-                wide = weight_rng.fill_bytes(64)
-                v = int.from_bytes(wide[0].tobytes(), "little") % L
-                if v != 0:
-                    return v
+        weights = RangeProof._draw_weights(seeds, len(proofs))
 
         # Pass 2: per-proof scalar accumulation (range_proof.rs:856-1033)
-        for proof, statement, challenge in zip(proofs, statements, batch_challenges):
+        for proof, statement, challenge, weight in zip(proofs, statements, batch_challenges, weights):
             commitments = statement.commitments
             minimum_value_promises = statement.minimum_value_promises
             a = _decompress_or("a", proof.a)
@@ -789,7 +1043,6 @@ class RangeProof:
                 raise InvalidLength("Vector L/R length not adequate")
 
             y, z, challenges_list, e = challenge
-            weight = weight_random_not_zero()
 
             y_inverse = _inv(y)
             y_1_inverse = _inv((y - 1) % L)

@@ -71,19 +71,25 @@ class BatchTranscriptRng:
         return _wide_to_scalars(self.fill_bytes(64))
 
     def random_not_zero(self) -> List[int]:
-        """Nonzero random scalar per lane.
+        """Nonzero random scalar per lane (scalar_protocol.rs:12-18 parity).
 
-        A zero draw (probability ~2^-252) retries only the affected lane so
-        the other lanes' byte streams match a lane-by-lane replay exactly.
+        For B=1 a zero draw (probability ~2^-252) retries exactly like the
+        reference.  For B>1 a retry would desynchronise the shared sponge
+        position and silently corrupt every other lane's stream, so the
+        batched path raises an explicit error instead of being subtly wrong —
+        the caller re-runs with a fresh external RNG.
         """
         out = self.random_scalars()
-        for i, v in enumerate(out):
-            while v == 0:  # pragma: no cover - cryptographically unreachable
-                lane_rng = TranscriptRng(self.rng.strobe.lane(i))
-                v = _wide_to_scalars(lane_rng.fill_bytes(64))[0]
-                self.rng.strobe.state[i] = lane_rng.strobe.state[0]
-            out[i] = v
-        return out
+        if 0 not in out:
+            return out
+        if self.rng.strobe.batch == 1:  # pragma: no cover - 2^-252
+            while out[0] == 0:
+                out = self.random_scalars()
+            return out
+        raise VerificationFailed(  # pragma: no cover - 2^-252
+            "Batched transcript RNG drew a zero scalar; lanes cannot retry in "
+            "lockstep — re-run the batch with a fresh external RNG"
+        )
 
 
 class RangeProofTranscript:
@@ -105,12 +111,20 @@ class RangeProofTranscript:
         minimum_value_promises: Sequence,  # m entries: int|None | list over B
         witness_bytes: Optional[np.ndarray],  # None | (B, W) uint8
         external_rng,
+        lazy_rng: bool = False,
     ):
+        """lazy_rng=True skips the RNG rebuild after each transcript mutation
+        (transcripts.rs:124-176 rebuilds eagerly, but the verifier's replay
+        only ever consumes the FINAL rng from to_verifier_rng — the
+        intermediate rebuilds are pure wasted sponge work for a verifier,
+        and skipping them cannot change any transcript state because
+        build_rng operates on a clone)."""
         self.transcript = transcript
         batch = transcript.batch
         self.batch = batch
         self.witness_bytes = witness_bytes
         self.external_rng = external_rng
+        self.lazy_rng = lazy_rng
 
         self.transcript.append_message(b"dom-sep", DOMAIN_SEPARATOR)
         self.validate_and_append_point(b"H", h_base_compressed)
@@ -152,7 +166,9 @@ class RangeProofTranscript:
             raise VerificationFailed("Transcript challenge cannot be zero")
         return out
 
-    def _build_rng(self) -> BatchTranscriptRng:
+    def _build_rng(self) -> Optional[BatchTranscriptRng]:
+        if self.lazy_rng:
+            return None
         builder = self.transcript.build_rng()
         if self.witness_bytes is not None:
             builder = builder.rekey_with_witness_bytes(b"witness", self.witness_bytes)
@@ -183,7 +199,9 @@ class RangeProofTranscript:
         self.append_scalar(b"s1", s1)
         for d1_k in d1:
             self.append_scalar(b"d1", d1_k)
+        was_lazy, self.lazy_rng = self.lazy_rng, False
         self._rng = self._build_rng()
+        self.lazy_rng = was_lazy
         return self._rng
 
     def rng(self) -> BatchTranscriptRng:

@@ -51,6 +51,30 @@ def _inv_l(x: jnp.ndarray) -> jnp.ndarray:
     return F.pow_l(x, L - 2)
 
 
+def _batch_invert(x: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery batch inversion over axis 1: (B, k, 16) -> (B, k, 16).
+
+    The `Scalar::batch_invert` analog (range_proof.rs:897-905): k-1 prefix
+    products, ONE Fermat inversion of the total, then back-substitution —
+    ~3 multiplies per element instead of a 253-step square-and-multiply
+    each.  Inputs must be nonzero (the zero-challenge rejection upstream
+    guarantees it); a zero input poisons its whole lane, same as dalek.
+    """
+    k = x.shape[1]
+    if k == 1:
+        return _inv_l(x)
+    prefix = [x[:, 0]]
+    for j in range(1, k):
+        prefix.append(F.mul_l(prefix[-1], x[:, j]))
+    acc = _inv_l(prefix[-1])  # one Fermat for the whole chain
+    outs: list = [None] * k
+    for j in range(k - 1, 0, -1):
+        outs[j] = F.mul_l(acc, prefix[j - 1])
+        acc = F.mul_l(acc, x[:, j])
+    outs[0] = acc
+    return jnp.stack(outs, axis=1)
+
+
 def _pow_static(x: jnp.ndarray, exp: int) -> jnp.ndarray:
     return F.pow_l(x, exp) if exp > 1 else (x if exp == 1 else jnp.broadcast_to(_const(1), x.shape))
 
@@ -131,11 +155,10 @@ def scalar_pass(
     mn = m * bit_length
     rounds = round_es.shape[1]
 
-    # One fused Fermat inversion over [es..., y, y-1] (the batch_invert
-    # analog, range_proof.rs:897-905) — a single scan body instead of three
+    # Montgomery batch inversion over [es..., y, y-1] (range_proof.rs:897-905)
     y_minus_1 = F.sub_l(y, jnp.broadcast_to(_const(1), y.shape))
     inv_in = jnp.concatenate([round_es, y[:, None], y_minus_1[:, None]], axis=1)
-    inv_out = _inv_l(inv_in)
+    inv_out = _batch_invert(inv_in)
     es_inv = inv_out[:, :rounds]
     y_inverse = inv_out[:, rounds]
     y_1_inverse = inv_out[:, rounds + 1]
@@ -243,23 +266,13 @@ def decompress_batch(compressed_limbs: jnp.ndarray):
     return rist.decompress(compressed_limbs)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn")
-)
-def verify_group_full(
-    y, z, round_es, e, weight, r1, s1, d1, min_values,
-    comp_limbs,  # (B*K, 16): [commitments, a1, b, a, li, ri] per proof
-    tables,  # fixed-base tables sliced to 2*max_mn lanes
-    g_base_pts,  # (deg,) points
-    h_base_pt,  # (1,) point
-    *, m, bit_length, extension_degree, max_mn,
+def _verify_group_core(
+    y, z, round_es, e, weight, r1, s1, d1, min_values, comp_limbs,
+    tables, g_base_pts, h_base_pt, *, m, bit_length, extension_degree, max_mn,
 ):
-    """Single-group fast path: the ENTIRE device verification in one jit —
-    scalar pass, batched decompression, dynamic scalar assembly, and the
-    mixed static+dynamic MSM identity check.  One dispatch, zero eager ops.
-
-    Returns (ok: bool, valid: (B*K,) decompression mask).
-    """
+    """Shared trace body for the single-group fast paths: scalar pass,
+    batched decompression, dynamic scalar assembly, and the mixed
+    static+dynamic MSM identity check."""
     from ..ops.fixed_base import mixed_msm
     from ..ops.msm import pad_msm_inputs
 
@@ -288,6 +301,73 @@ def verify_group_full(
     static_scalars = jnp.stack([gi, hi], axis=1).reshape(2 * max_mn, NLIMBS)
     ok = rist.is_identity(mixed_msm(static_scalars, tables, dyn_scalars, dyn_points))
     return ok, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn")
+)
+def verify_group_full(
+    y, z, round_es, e, weight, r1, s1, d1, min_values,
+    comp_limbs,  # (B*K, 16): [commitments, a1, b, a, li, ri] per proof
+    tables,  # fixed-base tables sliced to 2*max_mn lanes
+    g_base_pts,  # (deg,) points
+    h_base_pt,  # (1,) point
+    *, m, bit_length, extension_degree, max_mn,
+):
+    """Single-group fast path: the ENTIRE device verification in one jit —
+    one dispatch, zero eager ops.
+
+    Returns (ok: bool, valid: (B*K,) decompression mask).
+    """
+    return _verify_group_core(
+        y, z, round_es, e, weight, r1, s1, d1, min_values, comp_limbs,
+        tables, g_base_pts, h_base_pt,
+        m=m, bit_length=bit_length, extension_degree=extension_degree, max_mn=max_mn,
+    )
+
+
+def _u8_to_limbs(data: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2k) uint8 LE -> (..., k) uint32 limbs, traced."""
+    lo = data[..., 0::2].astype(jnp.uint32)
+    hi = data[..., 1::2].astype(jnp.uint32)
+    return lo | (hi << jnp.uint32(8))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn")
+)
+def verify_group_bytes(
+    y, z, round_es, e,  # (B,16)/(B,rounds,16) canonical limbs (device replay output)
+    weight,  # (B, 16) limbs (host weight transcript)
+    r1b, s1b,  # (B, 32) uint8
+    d1b,  # (B, deg, 32) uint8
+    min_vals8,  # (B, m, 8) uint8 LE u64
+    commits, a1b, bb, ab,  # (B, m, 32) / (B, 32) uint8
+    lib, rib,  # (B, rounds, 32) uint8
+    tables, g_base_pts, h_base_pt,
+    *, m, bit_length, extension_degree, max_mn,
+):
+    """Fast-path kernel 2 for the device-replay pipeline: consumes the SAME
+    byte arrays the replay kernel consumed (no host repacking, no Python-int
+    scalar work) plus the device-resident challenge limbs and host weights."""
+    B = y.shape[0]
+    rounds = round_es.shape[1]
+    r1 = _u8_to_limbs(r1b)
+    s1 = _u8_to_limbs(s1b)
+    d1 = _u8_to_limbs(d1b)
+    mv = _u8_to_limbs(min_vals8)  # (B, m, 4)
+    min_values = jnp.concatenate(
+        [mv, jnp.zeros((B, m, NLIMBS - mv.shape[-1]), jnp.uint32)], axis=-1
+    )
+    comp = jnp.concatenate(
+        [commits, a1b[:, None], bb[:, None], ab[:, None], lib, rib], axis=1
+    )
+    comp_limbs = _u8_to_limbs(comp.reshape(B * (m + 3 + 2 * rounds), 32))
+    return _verify_group_core(
+        y, z, round_es, e, weight, r1, s1, d1, min_values, comp_limbs,
+        tables, g_base_pts, h_base_pt,
+        m=m, bit_length=bit_length, extension_degree=extension_degree, max_mn=max_mn,
+    )
 
 
 @jax.jit
@@ -371,19 +451,27 @@ class DeviceVerifier:
 
     @staticmethod
     def raise_canonicality(valid_np: np.ndarray, m: int, rounds: int) -> None:
-        """Reference-parity decompression error messages."""
+        """Reference-parity decompression errors, in the reference's member
+        order per proof (range_proof.rs:859-866: a, a1, b, then li/ri) even
+        though the packed layout is [commitments, a1, b, a, li, ri]."""
         if valid_np.all():
             return
         from ..errors import InvalidArgument
 
         K = m + 3 + 2 * rounds
-        j = int(np.argmin(valid_np)) % K
-        if j < m:
-            raise InvalidArgument("A commitment was not the canonical encoding of a point")
-        if j < m + 3:
-            name = ("a1", "b", "a")[j - m]
-            raise InvalidArgument(f"Member '{name}' was not the canonical encoding of a point")
-        raise InvalidArgument("An item in member 'L' was not the canonical encoding of a point")
+        per_proof = valid_np.reshape(-1, K)
+        bad_proof = per_proof[~per_proof.all(axis=1)][0]
+        # reference check order within a proof -> packed indices
+        for j, name in ((m + 2, "a"), (m, "a1"), (m + 1, "b")):
+            if not bad_proof[j]:
+                raise InvalidArgument(
+                    f"Member '{name}' was not the canonical encoding of a point"
+                )
+        if not bad_proof[m + 3 :].all():
+            raise InvalidArgument(
+                "An item in member 'L' was not the canonical encoding of a point"
+            )
+        raise InvalidArgument("A commitment was not the canonical encoding of a point")
 
     @staticmethod
     def group_contributions(

@@ -50,7 +50,27 @@ def keccak_lib() -> Optional[ctypes.CDLL]:
                 lib = ctypes.CDLL(so)
                 lib.keccak_f1600_batch.argtypes = [ctypes.c_void_p, ctypes.c_long]
                 lib.keccak_f1600_batch.restype = None
+                lib.strobe_append_seq.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_void_p,
+                    ctypes.c_long,
+                    ctypes.c_void_p,
+                    ctypes.c_long,
+                    ctypes.c_long,
+                ]
+                lib.strobe_append_seq.restype = None
+                lib.strobe_rng_draws.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_long,
+                    ctypes.c_long,
+                    ctypes.c_void_p,
+                ]
+                lib.strobe_rng_draws.restype = None
                 _lib = lib
-            except OSError:
+            except (OSError, AttributeError):
                 _lib = None
     return _lib

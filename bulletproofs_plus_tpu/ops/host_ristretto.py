@@ -71,11 +71,26 @@ def sqrt_ratio_m1(u: int, v: int) -> Tuple[bool, int]:
     return (correct_sign_sqrt or flipped_sign_sqrt, r)
 
 
-# sqrt(a*d - 1) with a = -1, and 1/sqrt(a - d); both defined per RFC 9496.
-_ok, SQRT_AD_MINUS_ONE = sqrt_ratio_m1((-D - 1) % P, 1)
+# sqrt(a*d - 1) with a = -1, and 1/sqrt(a - d); both defined per RFC 9496 §4.1.
+# NOTE the sign convention: RFC 9496 (and curve25519-dalek) pin
+# SQRT_AD_MINUS_ONE to the *negative* (odd) square root — sqrt_ratio_m1
+# returns the nonnegative one, so negate it.  Getting this wrong leaves every
+# round-trip test green while making the Elligator map (and hence every
+# derived generator and proof) incompatible with the reference; it is pinned
+# by the RFC Appendix A one-way-map vectors in tests/test_host_ristretto.py.
+_ok, _sqrt_ad_m1_abs = sqrt_ratio_m1((-D - 1) % P, 1)
 assert _ok
+SQRT_AD_MINUS_ONE = P - _sqrt_ad_m1_abs
+assert (
+    SQRT_AD_MINUS_ONE
+    == 25063068953384623474111414158702152701244531502492656460079210482610430750235
+)  # RFC 9496 §4.1 published value
 _ok, INVSQRT_A_MINUS_D = sqrt_ratio_m1(1, (-1 - D) % P)
 assert _ok
+assert (
+    INVSQRT_A_MINUS_D
+    == 54469307008909316920995813868745141605393597292927456921205312896311721017578
+)  # RFC 9496 §4.1 published value
 
 
 # ---------------------------------------------------------------------------

@@ -111,24 +111,29 @@ def pad_msm_inputs(scalars: jnp.ndarray, points: PointArray, target: int | None 
 
 
 def tree_reduce(points: PointArray) -> PointArray:
-    """Sum a batch of points into one point.
+    """Sum points over their LAST lane axis: (..., n) points -> (...) points.
 
-    Lane count must be a power of two up to 512, or any multiple of 512
+    The lane count must be a power of two up to 512, or any multiple of 512
     beyond that (see _reduce_width).  Two-phase reduction built from exactly
     two point-add bodies (keeps the compiled graph small — unrolled
     log-depth trees made XLA compiles scale with MSM size):
-      1. a lax.scan over rows of a (R, C) reshape — O(n) work, one body;
+      1. a lax.scan over rows of a (..., R, C) reshape — O(n) work, one body,
+         vectorised across every leading batch axis;
       2. a shift-add halving loop over the final C lanes.
     """
-    n = points.x.shape[0]
+    lead = points.x.shape[:-2]
+    n = points.x.shape[-2]
     if n == 1:
-        return PointArray(*(c[0] for c in points))
+        return PointArray(*(c[..., 0, :] for c in points))
     C = min(n, 512)
     assert C & (C - 1) == 0 and n % C == 0, "tree_reduce needs pow2<=512 or multiple of 512 lanes"
     R = n // C
 
     if R > 1:
-        rows = PointArray(*(c.reshape(R, C, NLIMBS) for c in points))
+        # (R, ..., C, NLIMBS): scan axis leading, batch axes preserved
+        rows = PointArray(
+            *(jnp.moveaxis(c.reshape(lead + (R, C, NLIMBS)), -3, 0) for c in points)
+        )
         first = PointArray(*(c[0] for c in rows))
         rest = PointArray(*(c[1:] for c in rows))
 
@@ -143,11 +148,11 @@ def tree_reduce(points: PointArray) -> PointArray:
 
     def halve_body(k, acc):
         offset = jnp.int32(C) >> (k + 1)
-        rolled = PointArray(*(jnp.roll(c, -offset, axis=0) for c in acc))
+        rolled = PointArray(*(jnp.roll(c, -offset, axis=-2) for c in acc))
         return ed.add(acc, rolled)
 
     acc = jax.lax.fori_loop(0, steps, halve_body, acc)
-    return PointArray(*(c[0] for c in acc))
+    return PointArray(*(c[..., 0, :] for c in acc))
 
 
 def digits4_nd(scalars: jnp.ndarray) -> jnp.ndarray:
@@ -166,14 +171,16 @@ def digits4(scalars: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def msm_kernel(scalars: jnp.ndarray, points: PointArray) -> PointArray:
-    """sum_i scalars[i] * points[i]; lanes must already be a power of two.
+    """sum_i scalars[i] * points[i]; lane count per _reduce_width.
 
-    4-bit windowed ladder: one 15-add table scan (T[d] = d*P per lane), then
-    64 windows of (4 doublings + 1 table-gather add), then tree reduction.
-    ~370 point ops per lane vs 512 for plain double-and-add; fixed shape,
-    secret-independent control flow.
+    Transposed 4-bit windowed MSM (window-sum Horner): one 15-add table scan
+    (T[d] = d*P per lane), then each of the 64 windows selects T[digit] per
+    lane and reduces the lanes to ONE window sum; the window sums fold MSB
+    first as acc = 16*acc + W_j.  The 256 doublings of the classic per-lane
+    ladder collapse onto a single point, cutting per-lane point ops from
+    ~336 (256 dbl + 80 add) to ~80 adds — the doubling ladder no longer
+    scales with the MSM size.  Fixed shape, secret-independent control flow.
     """
-    n = scalars.shape[0]
     zero = ed._identity_like(points)
 
     def tab_step(acc, _):
@@ -181,22 +188,30 @@ def msm_kernel(scalars: jnp.ndarray, points: PointArray) -> PointArray:
 
     _, table = jax.lax.scan(tab_step, zero, None, length=16)  # table[d] = d*P
 
-    digits = jnp.flip(digits4(scalars), axis=0)  # MSB window first
+    digits = jnp.flip(digits4(scalars), axis=0)  # (64, n), MSB window first
     d_iota = jnp.arange(16, dtype=jnp.int32)[:, None, None]  # (16, 1, 1)
 
-    def win_body(acc, digit):
-        for _ in range(4):
-            acc = ed.double(acc)
+    def sel_body(_, digit):
         # Table lookup as a masked sum (exactly one hit per lane): per-lane
         # dynamic gathers are slow on TPU, a 16-way select+reduce is not.
         eq = digit[None, :, None] == d_iota  # (16, n, 1)
         sel = PointArray(
             *(jnp.sum(jnp.where(eq, c, jnp.uint32(0)), axis=0) for c in table)
         )
-        return ed.add(acc, sel), None
+        return None, sel
 
-    acc, _ = jax.lax.scan(win_body, zero, digits)
-    return tree_reduce(acc)
+    _, selected = jax.lax.scan(sel_body, None, digits)  # (64, n) points
+    wsums = tree_reduce(selected)  # (64,) points, MSB window first
+
+    one_pt = PointArray(*(c[0] for c in ed._identity_like(points)))
+
+    def horner(acc, w):
+        for _ in range(4):
+            acc = ed.double(acc)
+        return ed.add(acc, w), None
+
+    acc, _ = jax.lax.scan(horner, one_pt, wsums)
+    return acc
 
 
 def device_msm(scalars: Sequence[int], points: Sequence[hr.Point]) -> hr.Point:

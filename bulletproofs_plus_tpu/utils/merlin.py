@@ -32,6 +32,13 @@ def _le32(n: int) -> bytes:
     return int(n).to_bytes(4, "little")
 
 
+def _strobe_native():
+    """The native STROBE helper library, or None (numpy fallback)."""
+    from ..native import keccak_lib
+
+    return keccak_lib()
+
+
 class Transcript:
     """A batch of B Merlin transcripts in lockstep (B=1 matches upstream API)."""
 
@@ -72,6 +79,33 @@ class Transcript:
         self.strobe.meta_ad(label, False)
         self.strobe.meta_ad(_le32(n), True)
         self.strobe.ad(message, False)
+
+    def append_messages_seq(self, label: bytes, items: np.ndarray) -> None:
+        """Append n same-label, same-length messages in sequence — ONE lane's
+        transcript absorbing n items (the verifier's weight transcript,
+        range_proof.rs:845-850).  Native single-call fast path when the C
+        helper is available; bit-exact Python fallback otherwise."""
+        items = np.ascontiguousarray(items, dtype=np.uint8)
+        n, item_len = items.shape
+        lib = _strobe_native() if self.batch == 1 else None
+        if lib is None:
+            for i in range(n):
+                self.append_message(label, items[i : i + 1])
+            return
+        import ctypes
+
+        st = self.strobe
+        pos = ctypes.c_int32(st.pos)
+        pos_begin = ctypes.c_int32(st.pos_begin)
+        lib.strobe_append_seq(
+            st.state.ctypes.data, ctypes.byref(pos), ctypes.byref(pos_begin),
+            label, len(label), items.ctypes.data, n, item_len,
+        )
+        st.pos = pos.value
+        st.pos_begin = pos_begin.value
+        from .strobe import FLAG_A
+
+        st.cur_flags = FLAG_A
 
     def append_u64(self, label: bytes, value) -> None:
         """value: int (broadcast) or (B,) integer array."""
@@ -128,6 +162,30 @@ class TranscriptRng:
         """Returns (B, n) uint8 — one draw per lane, in lockstep."""
         self.strobe.meta_ad(_le32(n), False)
         return self.strobe.prf(n, False)
+
+    def fill_bytes_seq(self, n_draws: int, draw_len: int) -> np.ndarray:
+        """n_draws sequential fill_bytes(draw_len) calls from ONE lane's RNG
+        (the verifier's per-proof weight draws, range_proof.rs:890-894) —
+        one native call instead of n_draws Python/numpy round trips."""
+        lib = _strobe_native() if self.strobe.batch == 1 else None
+        if lib is None:
+            return np.concatenate([self.fill_bytes(draw_len) for _ in range(n_draws)], axis=0)
+        import ctypes
+
+        st = self.strobe
+        out = np.empty((n_draws, draw_len), dtype=np.uint8)
+        pos = ctypes.c_int32(st.pos)
+        pos_begin = ctypes.c_int32(st.pos_begin)
+        lib.strobe_rng_draws(
+            st.state.ctypes.data, ctypes.byref(pos), ctypes.byref(pos_begin),
+            n_draws, draw_len, out.ctypes.data,
+        )
+        st.pos = pos.value
+        st.pos_begin = pos_begin.value
+        from .strobe import FLAG_A, FLAG_C, FLAG_I
+
+        st.cur_flags = FLAG_I | FLAG_A | FLAG_C
+        return out
 
 
 class NullRng:

@@ -21,6 +21,104 @@ def test_basepoint_multiples():
         acc = hr.point_add(acc, hr.BASEPOINT)
 
 
+# RFC 9496 Appendix A.2: invalid encodings MUST be rejected.  These pin the
+# decoder's canonicality rules (non-canonical field elements, negative s,
+# non-square x^2, negative xy, s = -1) against the published vectors — the
+# external anchor the round-trip tests cannot provide.
+INVALID_ENCODINGS = [
+    # Non-canonical field encodings
+    "00ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff",
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff7f",
+    "f3ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff7f",
+    "edffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff7f",
+    # Negative field elements
+    "0100000000000000000000000000000000000000000000000000000000000000",
+    "01ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff7f",
+    "ed57ffd8c914fb201471d1c3d245ce3c746fcbe63a3679d51b6a516ebebe0e20",
+    "c34c4e1826e5d403b78e246e88aa051c36ccf0aafebffe137d148a2bf9104562",
+    "c940e5a4404157cfb1628b108db051a8d439e1a421394ec4ebccb9ec92a8ac78",
+    "47cfc5497c53dc8e61c91d17fd626ffb1c49e2bca94eed052281b510b1117a24",
+    "f1c6165d33367351b0da8f6e4511010c68174a03b6581212c71c0e1d026c3c72",
+    "87260f7a2f12495118360f02c26a470f450dadf34a413d21042b43b9d93e1309",
+    # Non-square x^2
+    "26948d35ca62e643e26a83177332e6b6afeb9d08e4268b650f1f5bbd8d81d371",
+    "4eac077a713c57b4f4397629a4145982c661f48044dd3f96427d40b147d9742f",
+    "de6a7b00deadc788eb6b6c8d20c0ae96c2f2019078fa604fee5b87d6e989ad7b",
+    "bcab477be20861e01e4a0e295284146a510150d9817763caf1a6f4b422d67042",
+    "2a292df7e32cababbd9de088d1d1abec9fc0440f637ed2fba145094dc14bea08",
+    "f4a9e534fc0d216c44b218fa0c42d99635a0127ee2e53c712f70609649fdff22",
+    "8268436f8c4126196cf64b3c7ddbda90746a378625f9813dd9b8457077256731",
+    "2810e5cbc2cc4d4eece54f61c6f69758e289aa7ab440b3cbeaa21995c2f4232b",
+    # Negative xy value
+    "3eb858e78f5a7254d8c9731174a94f76755fd3941c0ac93735c07ba14579630e",
+    "a45fdc55c76448c049a1ab33f17023edfb2be3581e9c7aade8a6125215e04220",
+    "d483fe813c6ba647ebbfd3ec41adca1c6130c2beeee9d9bf065c8d151c5f396e",
+    "8c2e1d70d98ceca6f7caf3c037a4130ade1fca94eb9a357b4bcc222c20d05992",
+    "32888462f8b486c68ad7dd9610be5192bbeaf3b443951ac1a8118419d9fa097b",
+    "227142501b9d4355ccba290404bde41575b037693cef1f438c47f8fbf35d1165",
+    "5c37cc491da847cfeb9281d407efc41e15144c876e0170b499a96a22ed31e01e",
+    "445425117cb8c90edcbc7c1cc0e74f747f2c1efa5630a967c64f287792a48a4b",
+    # s = -1, which causes y = 0
+    "ecffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff7f",
+]
+
+
+def test_invalid_encodings_rejected():
+    for enc in INVALID_ENCODINGS:
+        assert hr.decompress(bytes.fromhex(enc)) is None, enc
+
+
+# RFC 9496 Appendix A.3: one-way map (from_uniform_bytes) of SHA-512 of these
+# ASCII labels.  This is the external anchor for the Elligator sign
+# conventions — a flipped SQRT_AD_MINUS_ONE sign keeps every round-trip test
+# green while making all derived generators incompatible with the reference
+# (/root/reference/src/generators/generators_chain.rs:44-49 depends on this
+# map for every generator).  It caught exactly that bug in round 2.
+# The RFC's second row is omitted: its transcription could not be
+# independently verified; the six below were (input hashes and the §4.1
+# SQRT_AD_MINUS_ONE / INVSQRT_A_MINUS_D constants all cross-check).
+ONE_WAY_MAP_VECTORS = [
+    (
+        b"Ristretto is traditionally a short shot of espresso coffee",
+        "3066f82a1a747d45120d1740f14358531a8f04bbffe6a819f86dfe50f44a0a46",
+    ),
+    (
+        b"about half the amount of water in the same amount of time",
+        "006ccd2a9e6867e6a2c5cea83d3302cc9de128dd2a9a57dd8ee7b9d7ffe02826",
+    ),
+    (
+        b"by using a finer grind.",
+        "f8f0c87cf237953c5890aec3998169005dae3eca1fbb04548c635953c817f92a",
+    ),
+    (
+        b"This produces a concentrated shot of coffee per volume.",
+        "ae81e7dedf20a497e10c304a765c1767a42d6e06029758d2d7e8ef7cc4c41179",
+    ),
+    (
+        b"Just pulling a normal shot short will produce a weaker shot",
+        "e2705652ff9f5e44d3e841bf1c251cf7dddb77d140870d1ab2ed64f1a9ce8628",
+    ),
+    (
+        b"and is not a Ristretto as some believe.",
+        "80bd07262511cdde4863f8a7434cef696750681cb9510eea557088f76d9e5065",
+    ),
+]
+
+
+def test_one_way_map_vectors():
+    import hashlib
+
+    for label, expected in ONE_WAY_MAP_VECTORS:
+        p = hr.from_uniform_bytes(hashlib.sha512(label).digest())
+        assert hr.compress(p).hex() == expected, label
+
+
+def test_sqrt_ad_minus_one_is_rfc_constant():
+    # RFC 9496 §4.1 pins the NEGATIVE (odd) root.
+    assert hr.SQRT_AD_MINUS_ONE % 2 == 1
+    assert hr.SQRT_AD_MINUS_ONE * hr.SQRT_AD_MINUS_ONE % hr.P == (-hr.D - 1) % hr.P
+
+
 def test_compress_decompress_roundtrip():
     for _ in range(20):
         p = hr.from_uniform_bytes(os.urandom(64))

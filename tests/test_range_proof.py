@@ -172,6 +172,8 @@ MATRIX = [
     (8, [1, 2], ExtensionDegree.DEFAULT_PEDERSEN, MinValueStrategy.NO_OFFSET),
     (8, [4], ExtensionDegree.ADD_FIVE_BASE_POINTS, MinValueStrategy.INTERMEDIATE),
     (16, [1], ExtensionDegree.ADD_TWO_BASE_POINTS, MinValueStrategy.NO_OFFSET),
+    (32, [1], ExtensionDegree.ADD_THREE_BASE_POINTS, MinValueStrategy.INTERMEDIATE),
+    (32, [2], ExtensionDegree.ADD_FOUR_BASE_POINTS, MinValueStrategy.NO_OFFSET),
     (64, [1], ExtensionDegree.DEFAULT_PEDERSEN, MinValueStrategy.NO_OFFSET),
     (64, [2, 1], ExtensionDegree.DEFAULT_PEDERSEN, MinValueStrategy.INTERMEDIATE),
 ]
@@ -183,8 +185,8 @@ def test_matrix(bit_length, batch, degree, strategy):
 
 
 def test_byte_meddling_fails():
-    """Flipping any proof byte must break verification or parsing
-    (range_proof.rs:1400-1434 analog, sampled positions)."""
+    """Flipping ANY proof byte must break verification or parsing —
+    every position, stride 1, like range_proof.rs:1400-1434."""
     pc_gens = create_pedersen_gens_with_extension_degree(ExtensionDegree.DEFAULT_PEDERSEN)
     params = RangeParameters.init(4, 1, pc_gens)
     value, blinding = 5, _det_scalar(b"meddle-blind")
@@ -194,7 +196,8 @@ def test_byte_meddling_fails():
     proof = RangeProof.prove_with_rng(Transcript(b"Meddle"), statement, witness, _make_rng(1))
     data = bytearray(proof.to_bytes())
 
-    for pos in range(0, len(data), 7):
+    verify_failures = 0
+    for pos in range(len(data)):
         meddled = bytearray(data)
         meddled[pos] ^= 1
         try:
@@ -205,6 +208,10 @@ def test_byte_meddling_fails():
             RangeProof.verify_batch(
                 [Transcript(b"Meddle")], [statement], [bad], VerifyAction.VERIFY_ONLY
             )
+        verify_failures += 1
+    # Some meddled proofs must still parse (and then fail verification),
+    # or the sweep never exercised the verifier at all
+    assert verify_failures > 0
 
 
 def test_from_bytes_rejects_truncation_and_extension():
