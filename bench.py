@@ -41,6 +41,15 @@ def _emit(metric, value, unit, **extra):
 
 
 def main() -> None:
+    import resource
+
+    # XLA compiler recursion depth (see tests/conftest.py)
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+    except (ValueError, OSError):
+        _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+
     import jax
 
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -143,9 +152,8 @@ def main() -> None:
     max_mn = m * BIT_LENGTH
 
     t0 = time.perf_counter()
-    packed = pack_replay_inputs(statements, proofs)
-    dev_arrays = [jnp.asarray(x) for x in packed]
-    jax.block_until_ready(dev_arrays)
+    buf = jnp.asarray(pack_replay_inputs(statements, proofs))
+    jax.block_until_ready(buf)
     t_pack = time.perf_counter() - t0
 
     rep = replay_fn(
@@ -154,7 +162,7 @@ def main() -> None:
         stacked.strobe.pos, stacked.strobe.pos_begin, stacked.strobe.cur_flags,
     )
     t0 = time.perf_counter()
-    y, z, es, e, seeds, bad_id, bad_zero = rep(jnp.asarray(stacked.strobe.state), *dev_arrays)
+    y, z, es, e, seeds, bad_id, bad_zero = rep(jnp.asarray(stacked.strobe.state), buf)
     seeds_np = np.asarray(seeds)
     t_replay = time.perf_counter() - t0
 
@@ -165,11 +173,9 @@ def main() -> None:
 
     tables_ = gens.bp_gens.fixed_tables_sliced(2 * max_mn)
     g_base_pts, h_base_pt = gens.pc_gens.device_bases()
-    commits_d, min_vals_d, a_d, a1_d, b_d, li_d, ri_d, r1_d, s1_d, d1_d = dev_arrays
     t0 = time.perf_counter()
     ok, valid = verify_group_bytes(
-        y, z, es, e, w_dev, r1_d, s1_d, d1_d, min_vals_d,
-        commits_d, a1_d, b_d, a_d, li_d, ri_d, tables_, g_base_pts, h_base_pt,
+        y, z, es, e, w_dev, buf, tables_, g_base_pts, h_base_pt,
         m=m, bit_length=BIT_LENGTH, extension_degree=1, max_mn=max_mn,
     )
     assert bool(ok)

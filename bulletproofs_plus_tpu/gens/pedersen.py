@@ -71,6 +71,7 @@ class PedersenGens:
     g_base_compressed_vec: List[bytes]
     extension_degree: ExtensionDegree
     _device_bases: tuple = field(default=None, compare=False, repr=False)
+    _device_tables: object = field(default=None, compare=False, repr=False)
 
     def device_bases(self):
         """(g_bases PointArray (deg,), h_base PointArray (1,)), cached."""
@@ -83,6 +84,22 @@ class PedersenGens:
                 (from_host(self.g_base_vec), from_host([self.h_base])),
             )
         return self._device_bases
+
+    def device_base_tables(self):
+        """Fixed-base 4-bit digit tables over [G_1..G_deg, H] (coords
+        (64, 16, deg+1, 16)), cached — the prover's alpha/eta/ry masks
+        multiply these fixed points every call; callers slice the first S
+        points they need."""
+        if self._device_tables is None:
+            from ..ops.edwards import from_host
+            from ..ops.fixed_base import build_tables
+
+            object.__setattr__(
+                self,
+                "_device_tables",
+                build_tables(from_host(list(self.g_base_vec) + [self.h_base])),
+            )
+        return self._device_tables
 
     def commit(self, value: int, blindings: Sequence[int]) -> hr.Point:
         """C = value*H + sum_k blindings[k]*G_k

@@ -35,9 +35,8 @@ from ..ops import field as F
 from ..ops import host_ristretto as hr
 from ..ops import ristretto as rist
 from ..ops.edwards import PointArray
-from ..ops.fixed_base import fixed_msm
 from ..ops.limbs import NLIMBS, bytes_from_limbs, int_from_limbs, pack_ints
-from ..ops.msm import msm_kernel, pad_msm_inputs
+from ..ops.msm import msm_kernel
 from ..utils.hashing import nonce
 from ..utils.merlin import Transcript
 from .statement import RangeStatement, RangeWitness
@@ -76,13 +75,17 @@ def _prove_vectors(a_li, a_ri, y, y_inv, z, *, m, bit_length):
 
 
 @functools.partial(jax.jit, static_argnames=("half",))
-def _round_lr(a_li, a_ri, gi, hi, y_powers, y_n_inv, d_l, d_r, h_base, g_bases, *, half):
+def _round_lr(a_li, a_ri, gi, hi, y_powers, y_n_inv, d_l, d_r, hg_tables, *, half):
     """One folding round's L/R computation (range_proof.rs:409-495 analog).
 
     a_li/a_ri: (B, 2*half, 16); gi/hi: (B, 2*half) points;
     y_powers: (B, >=2*half+2, 16); y_n_inv: (B, 16); d_l/d_r: (B, deg, 16);
-    h_base: (1,) point; g_bases: (deg,) point.
+    hg_tables: PedersenGens.device_base_tables() over [G_1..G_deg, H].
     Returns (L, R compressed (B,16), a_lo_offset, a_hi_offset carried state).
+
+    Each of L/R splits into its fixed-base part (c*H + sum d*G via the digit
+    tables — no ladders) plus a 2*half-lane variable MSM over the folded
+    generators (exact power-of-two lane count, no padding waste).
     """
     n = half
     a_lo, a_hi = a_li[:, :n], a_li[:, n:]
@@ -101,37 +104,24 @@ def _round_lr(a_li, a_ri, gi, hi, y_powers, y_n_inv, d_l, d_r, h_base, g_bases, 
     c_l = _batched_dot(a_lo, y_powers[:, 1 : n + 1], b_hi)
     c_r = _batched_dot(a_hi, y_powers[:, n + 1 : 2 * n + 1], b_lo)
 
-    B = a_li.shape[0]
-    deg = d_l.shape[1]
     gi_lo = PointArray(*(c[:, :n] for c in gi))
     gi_hi = PointArray(*(c[:, n:] for c in gi))
     hi_lo = PointArray(*(c[:, :n] for c in hi))
     hi_hi = PointArray(*(c[:, n:] for c in hi))
 
-    hb = PointArray(*(jnp.broadcast_to(c[None], (B, 1, NLIMBS)) for c in h_base))
-    gb = PointArray(*(jnp.broadcast_to(c[None], (B, deg, NLIMBS)) for c in g_bases))
+    l_fixed = _fixed_digit_sum(jnp.concatenate([d_l, c_l[:, None]], axis=1), hg_tables)
+    r_fixed = _fixed_digit_sum(jnp.concatenate([d_r, c_r[:, None]], axis=1), hg_tables)
 
     def lane_msm(scalars, points):
-        s, p = pad_msm_inputs(scalars, points)
-        return msm_kernel(s, p)
+        return msm_kernel(scalars, points)
 
-    l_scalars = jnp.concatenate([c_l[:, None], d_l, a_lo_offset, b_hi], axis=1)
-    l_points = PointArray(
-        *(
-            jnp.concatenate([h, g, ghi, hlo], axis=1)
-            for h, g, ghi, hlo in zip(hb, gb, gi_hi, hi_lo)
-        )
-    )
-    r_scalars = jnp.concatenate([c_r[:, None], d_r, a_hi_offset, b_lo], axis=1)
-    r_points = PointArray(
-        *(
-            jnp.concatenate([h, g, glo, hhi], axis=1)
-            for h, g, glo, hhi in zip(hb, gb, gi_lo, hi_hi)
-        )
-    )
+    l_scalars = jnp.concatenate([a_lo_offset, b_hi], axis=1)  # (B, 2n, 16)
+    l_points = PointArray(*(jnp.concatenate([ghi, hlo], axis=1) for ghi, hlo in zip(gi_hi, hi_lo)))
+    r_scalars = jnp.concatenate([a_hi_offset, b_lo], axis=1)
+    r_points = PointArray(*(jnp.concatenate([glo, hhi], axis=1) for glo, hhi in zip(gi_lo, hi_hi)))
 
-    l_pt = jax.vmap(lane_msm)(l_scalars, l_points)
-    r_pt = jax.vmap(lane_msm)(r_scalars, r_points)
+    l_pt = ed.add(jax.vmap(lane_msm)(l_scalars, l_points), l_fixed)
+    r_pt = ed.add(jax.vmap(lane_msm)(r_scalars, r_points), r_fixed)
     return rist.compress(l_pt), rist.compress(r_pt), a_lo_offset, a_hi_offset
 
 
@@ -160,46 +150,84 @@ def _round_fold(a_li, a_ri, gi, hi, a_hi_offset, e, e_inv, y_n_inv):
 
 
 @jax.jit
-def _final_points(gi0, hi0, r, s, d_mask, eta, ry_ar, rys, h_base, g_bases):
+def _final_points(gi0, hi0, r, s, d_mask, eta, ry_ar, rys, hg_tables):
     """A1 and B (range_proof.rs:573-584 analog), batched.
 
+    A1 = r*gi0 + s*hi0 (variable points, shared-window Straus) plus
+    ry_ar*H + sum_k d_mask_k*G_k through the fixed-base digit tables;
+    B = rys*H + sum_k eta_k*G_k entirely table-driven.
+
     gi0/hi0: (B,) points; r, s: (B,16); d_mask/eta: (B,deg,16);
-    ry_ar = r*y*a_ri0 + s*y*a_li0: (B,16); rys = r*y*s: (B,16).
+    ry_ar = r*y*a_ri0 + s*y*a_li0: (B,16); rys = r*y*s: (B,16);
+    hg_tables: PedersenGens.device_base_tables() over [G_1..G_deg, H].
     """
-    B = r.shape[0]
-    deg = d_mask.shape[1]
-    hb = PointArray(*(jnp.broadcast_to(c[None], (B, 1, NLIMBS)) for c in h_base))
-    gb = PointArray(*(jnp.broadcast_to(c[None], (B, deg, NLIMBS)) for c in g_bases))
+    a1_var = ed.double_scalar_mul(r, gi0, s, hi0)
+    a1_fix = _fixed_digit_sum(jnp.concatenate([d_mask, ry_ar[:, None]], axis=1), hg_tables)
+    b_pt = _fixed_digit_sum(jnp.concatenate([eta, rys[:, None]], axis=1), hg_tables)
+    return rist.compress(ed.add(a1_var, a1_fix)), rist.compress(b_pt)
 
-    def lane_msm(scalars, points):
-        s_, p_ = pad_msm_inputs(scalars, points)
-        return msm_kernel(s_, p_)
 
-    a1_scalars = jnp.concatenate([r[:, None], s[:, None], ry_ar[:, None], d_mask], axis=1)
-    a1_points = PointArray(
+def _fixed_digit_sum(scalars: jnp.ndarray, tables: PointArray) -> PointArray:
+    """sum_k scalars[..., k] * P_k for FIXED points with digit tables
+    (coords (64, 16, S, 16)): per window a 16-way masked select, then one
+    halving reduction over (windows x S) — no doublings, batched over
+    scalars' leading axes."""
+    from ..ops.msm import _next_pow2, digits4_nd, tree_reduce
+
+    lead = scalars.shape[:-2]
+    S = scalars.shape[-2]
+    if tables.x.shape[2] != S:  # tables carry [G_1..G_deg, H]; take first S
+        tables = PointArray(*(c[:, :, :S] for c in tables))
+    digits = digits4_nd(scalars)  # (64, ..., S) window-major LSB-first
+    d_iota = jnp.arange(16, dtype=jnp.int32)
+    eq = digits[:, None] == d_iota.reshape((1, 16) + (1,) * (len(lead) + 1))  # (64,16,...,S)
+    sel = PointArray(
         *(
-            jnp.concatenate([g0[:, None], h0[:, None], h, g], axis=1)
-            for g0, h0, h, g in zip(gi0, hi0, hb, gb)
+            jnp.sum(
+                jnp.where(
+                    eq[..., None],
+                    c.reshape((64, 16) + (1,) * len(lead) + (S, NLIMBS)),
+                    jnp.uint32(0),
+                ),
+                axis=1,
+            )
+            for c in tables
         )
+    )  # (64, ..., S) points
+    flat = PointArray(
+        *(jnp.moveaxis(c, 0, -3).reshape(lead + (64 * S, NLIMBS)) for c in sel)
     )
-    b_scalars = jnp.concatenate([rys[:, None], eta], axis=1)
-    b_points = PointArray(*(jnp.concatenate([h, g], axis=1) for h, g in zip(hb, gb)))
-
-    a1 = jax.vmap(lane_msm)(a1_scalars, a1_points)
-    b = jax.vmap(lane_msm)(b_scalars, b_points)
-    return rist.compress(a1), rist.compress(b)
+    target = _next_pow2(64 * S)
+    if target != 64 * S:
+        pad = ed.identity(lead + (target - 64 * S,))
+        flat = PointArray(*(jnp.concatenate([c, p], axis=-2) for c, p in zip(flat, pad)))
+    return tree_reduce(flat)
 
 
 @jax.jit
-def _commit_a(static_scalars, tables, dyn_scalars, dyn_points):
-    """A = interleave(a_li, a_ri)·interleaved_gens + alpha·g_bases, batched."""
+def _commit_a_bits(bits, gi, hi, alpha, g_tables):
+    """A = sum_i bit_i*gi_i - sum_{bit_i=0} hi_i + sum_k alpha_k*G_k.
 
-    def lane(s, ds, dp):
-        stat = fixed_msm(s, tables)
-        ds2, dp2 = pad_msm_inputs(ds, dp)
-        return ed.add(stat, msm_kernel(ds2, dp2))
+    The prover's static scalars ARE the bit decomposition (a_li in {0,1},
+    a_ri in {0,-1}, range_proof.rs:299-345), so the 2*mn-lane windowed MSM
+    collapses to two masked halving reductions; the alpha masks multiply the
+    FIXED masking bases through their digit tables — no doubling ladders
+    anywhere in the A commitment.
 
-    return rist.compress(jax.vmap(lane, in_axes=(0, 0, 0))(static_scalars, dyn_scalars, dyn_points))
+    bits: (B, mn) uint32; gi/hi: (mn,) points; alpha: (B, deg, 16);
+    g_tables: PedersenGens.device_base_tables().
+    """
+    from ..ops.msm import tree_reduce
+
+    B, mn = bits.shape
+    ones = bits == 1
+    gi_b = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in gi))
+    hi_b = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in hi))
+    sum_g = tree_reduce(ed.select(ones, gi_b, ed.identity((B, mn))))
+    sum_h = tree_reduce(ed.select(ones, ed.identity((B, mn)), hi_b))
+    acc = ed.add(sum_g, ed.neg(sum_h))
+    acc = ed.add(acc, _fixed_digit_sum(alpha, g_tables))
+    return rist.compress(acc)
 
 
 def prove_batch_with_rng(
@@ -326,13 +354,16 @@ def prove_batch_with_rng(
     else:
         alpha = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
 
-    # A commitment: static interleave(a_li, a_ri) + dynamic alpha.g_bases
-    static_scalars = jnp.stack([a_li, a_ri], axis=2).reshape(B, 2 * mn, NLIMBS)
-    tables = gens.bp_gens.fixed_tables_sliced(2 * mn)
+    # A commitment: bit-masked generator sums + fixed-base alpha masks
     g_bases_dev, h_base_dev = gens.pc_gens.device_bases()
+    gi_host = gens.gi_base()[:mn]
+    hi_host = gens.hi_base()[:mn]
+    gi_dev = ed.from_host(gi_host)
+    hi_dev = ed.from_host(hi_host)
     alpha_dev = jnp.stack([_limbs(alpha[k]) for k in range(extension_degree)], axis=1)  # (B,deg,16)
-    gb_b = PointArray(*(jnp.broadcast_to(c[None], (B, extension_degree, NLIMBS)) for c in g_bases_dev))
-    a_comp = _commit_a(static_scalars, tables, alpha_dev, gb_b)
+    a_comp = _commit_a_bits(
+        jnp.asarray(a_li_bits), gi_dev, hi_dev, alpha_dev, gens.pc_gens.device_base_tables()
+    )
     a_bytes = bytes_from_limbs(np.asarray(a_comp))
 
     y_list, z_list = rpt.challenges_y_z(a_bytes)
@@ -354,10 +385,8 @@ def prove_batch_with_rng(
                 alpha[k][lane] = (alpha[k][lane] + z_even * r_ % L * y_mn1) % L
 
     # Generator vectors, broadcast per lane
-    gi_host = gens.gi_base()[:mn]
-    hi_host = gens.hi_base()[:mn]
-    gi = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in ed.from_host(gi_host)))
-    hi = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in ed.from_host(hi_host)))
+    gi = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in gi_dev))
+    hi = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in hi_dev))
 
     li_bytes: List[np.ndarray] = []
     ri_bytes: List[np.ndarray] = []
@@ -379,10 +408,13 @@ def prove_batch_with_rng(
 
         l_comp, r_comp, a_lo_off, a_hi_off = _round_lr(
             a_li, a_ri, gi, hi, y_powers, y_n_inv, d_l_dev, d_r_dev,
-            h_base_dev, g_bases_dev, half=n,
+            gens.pc_gens.device_base_tables(), half=n,
         )
-        li_bytes.append(bytes_from_limbs(np.asarray(l_comp)))
-        ri_bytes.append(bytes_from_limbs(np.asarray(r_comp)))
+        # ONE device->host round trip per round (readback latency is a fixed
+        # cost on a tunneled TPU; two np.asarray calls would pay it twice)
+        l_np, r_np = jax.device_get((l_comp, r_comp))
+        li_bytes.append(bytes_from_limbs(l_np))
+        ri_bytes.append(bytes_from_limbs(r_np))
 
         e_list = rpt.challenge_round_e(li_bytes[-1], ri_bytes[-1])
         e_inv_list = [pow(e, -1, L) for e in e_list]
@@ -404,9 +436,10 @@ def prove_batch_with_rng(
         d_mask = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
         eta = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
 
-    a_li_host = [int_from_limbs(row) for row in np.asarray(a_li[:, 0])]
-    a_ri_host = [int_from_limbs(row) for row in np.asarray(a_ri[:, 0])]
-    y1_host = [int_from_limbs(row) for row in np.asarray(y_powers[:, 1])]
+    a_li0_np, a_ri0_np, y1_np = jax.device_get((a_li[:, 0], a_ri[:, 0], y_powers[:, 1]))
+    a_li_host = [int_from_limbs(row) for row in a_li0_np]
+    a_ri_host = [int_from_limbs(row) for row in a_ri0_np]
+    y1_host = [int_from_limbs(row) for row in y1_np]
     ry_ar = _limbs(
         [
             (r_ * y1 % L * ar + s_ * y1 % L * al) % L
@@ -420,10 +453,11 @@ def prove_batch_with_rng(
     eta_dev = jnp.stack([_limbs(eta[k]) for k in range(extension_degree)], axis=1)
     a1_comp, b_comp = _final_points(
         gi0, hi0, _limbs(r_list), _limbs(s_list), d_mask_dev, eta_dev,
-        ry_ar, rys, h_base_dev, g_bases_dev,
+        ry_ar, rys, gens.pc_gens.device_base_tables(),
     )
-    a1_bytes = bytes_from_limbs(np.asarray(a1_comp))
-    b_bytes = bytes_from_limbs(np.asarray(b_comp))
+    a1_np, b_np = jax.device_get((a1_comp, b_comp))
+    a1_bytes = bytes_from_limbs(a1_np)
+    b_bytes = bytes_from_limbs(b_np)
 
     e_list = rpt.challenge_final_e(a1_bytes, b_bytes)
 

@@ -411,6 +411,14 @@ class RangeProof:
                     raise InvalidLength("Minimum value promise exceeds bit vector capacity")
             if i == max_index:
                 continue
+            # Same generator object (the common case: one RangeParameters
+            # shared across the batch) is trivially prefix-consistent —
+            # skips ~2 host field mults per generator per statement.
+            if (
+                statement.generators is max_statement.generators
+                or statement.generators.bp_gens is max_statement.generators.bp_gens
+            ):
+                continue
             gi = statement.generators.gi_base()
             hi = statement.generators.hi_base()
             k = min(len(gi), len(max_gi))
@@ -475,9 +483,30 @@ class RangeProof:
         the 256-proof cap.  The first failing batch raises immediately (in
         order); later batches may already be in flight and are abandoned.
         TPU-native extension — the reference API is synchronous per batch.
+
+        The fast path is a 3-stage pipeline per batch (replay-kernel
+        dispatch; seed fetch + weights + fused-kernel dispatch; verdict
+        fetch) interleaved across batches so each of the two device->host
+        round trips — a fixed-latency cost on a tunneled TPU — hides under
+        other batches' kernels.
         """
-        pending = []
-        results: List[List[Optional[ExtendedMask]]] = []
+        b_q: List = []  # (idx, stage) pending seed fetch -> kernel 2
+        c_q: List = []  # (idx, stage) pending verdict fetch
+        done: dict = {}
+        n = 0
+
+        def advance_b():
+            idx, stage = b_q.pop(0)
+            step = stage()
+            if callable(step):
+                c_q.append((idx, step))
+            else:
+                done[idx] = step
+
+        def advance_c():
+            idx, stage = c_q.pop(0)
+            done[idx] = stage()
+
         for transcripts, statements, proofs in batches:
             if not statements or not proofs or not transcripts:
                 raise InvalidArgument("Range statements or proofs length empty")
@@ -485,19 +514,26 @@ class RangeProof:
                 raise InvalidArgument("Range statements and proofs length mismatch")
             if len(transcripts) != len(statements):
                 raise InvalidArgument("Range statements and transcripts length mismatch")
-            finish = RangeProof._verify_device_dispatch(
+            stage = RangeProof._verify_device_dispatch(
                 transcripts[:MAX_RANGE_PROOF_BATCH_SIZE],
                 statements[:MAX_RANGE_PROOF_BATCH_SIZE],
                 proofs[:MAX_RANGE_PROOF_BATCH_SIZE],
                 action,
                 mesh,
             )
-            pending.append(finish)
-            if len(pending) > 1:
-                results.append(pending.pop(0)())
-        while pending:
-            results.append(pending.pop(0)())
-        return results
+            if c_q:
+                advance_c()
+            if b_q:
+                advance_b()
+            b_q.append((n, stage))
+            n += 1
+        while b_q:
+            advance_b()
+            if c_q:
+                advance_c()
+        while c_q:
+            advance_c()
+        return [done[i] for i in range(n)]
 
     @staticmethod
     def _verify_device(
@@ -509,7 +545,10 @@ class RangeProof:
     ) -> List[Optional[ExtendedMask]]:
         """Device (TPU) verification: host Fiat-Shamir replay, then jitted
         scalar pipelines per proof shape and one folded MSM ladder."""
-        return RangeProof._verify_device_dispatch(transcripts, statements, proofs, action, mesh)()
+        step = RangeProof._verify_device_dispatch(transcripts, statements, proofs, action, mesh)
+        while callable(step):
+            step = step()
+        return step
 
     @staticmethod
     def _verify_device_dispatch(
@@ -715,59 +754,74 @@ class RangeProof:
             stacked.strobe.pos_begin,
             stacked.strobe.cur_flags,
         )
-        packed = pack_replay_inputs(statements, proofs)
-        commits_d, min_vals_d, a_d, a1_d, b_d, li_d, ri_d, r1_d, s1_d, d1_d = (
-            jnp.asarray(x) for x in packed
-        )
-        y, z, es, e, seeds, bad_id, bad_zero = rep(
-            jnp.asarray(stacked.strobe.state),
-            commits_d, min_vals_d, a_d, a1_d, b_d, li_d, ri_d, r1_d, s1_d, d1_d,
-        )
-        seeds_np = np.asarray(seeds)  # blocks on kernel 1
-        if np.asarray(bad_id).any():
-            raise VerificationFailed("Identity element cannot be added to the transcript")
-        if np.asarray(bad_zero).any():  # pragma: no cover - 2^-252
-            raise VerificationFailed("Transcript challenge cannot be zero")
-        weights = RangeProof._draw_weights([row.tobytes() for row in seeds_np], B)
+        import jax
 
-        masks: List[Optional[ExtendedMask]] = [None] * B
-        if action != VerifyAction.VERIFY_ONLY:
-            # Mask recovery is host scalar math; pull the challenges once.
-            y_i = unpack_ints(np.asarray(y))
-            z_i = unpack_ints(np.asarray(z))
-            es_i = unpack_ints(np.asarray(es).reshape(B * rounds, -1))
-            e_i = unpack_ints(np.asarray(e))
-            RangeProof._device_structural_checks(statements, proofs, bit_length, action)
-            masks = [
-                RangeProof._recover_mask(
-                    st, pr,
-                    (y_i[k], z_i[k], es_i[k * rounds : (k + 1) * rounds], e_i[k]),
-                    extension_degree,
-                )
-                for k, (st, pr) in enumerate(zip(statements, proofs))
-            ]
-            if action == VerifyAction.RECOVER_ONLY:
-                return lambda: masks
+        buf = jnp.asarray(pack_replay_inputs(statements, proofs))
+        y, z, es, e, seeds, bad_id, bad_zero = rep(jnp.asarray(stacked.strobe.state), buf)
+        # Start the (fixed ~latency) device->host copy without blocking, so
+        # a pipelined caller can overlap it with other batches' kernels.
+        for arr in (seeds, bad_id, bad_zero):
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend-dependent
+                pass
 
-        tables_ = max_statement.generators.bp_gens.fixed_tables_sliced(2 * max_mn)
-        g_base_pts, h_base_pt = gens.pc_gens.device_bases()
-        ok, valid = verify_group_bytes(
-            y, z, es, e,
-            jnp.asarray(pack_ints(weights)),
-            r1_d, s1_d, d1_d, min_vals_d,
-            commits_d, a1_d, b_d, a_d, li_d, ri_d,
-            tables_, g_base_pts, h_base_pt,
-            m=m, bit_length=bit_length,
-            extension_degree=extension_degree, max_mn=max_mn,
-        )
+        def stage_b():
+            # ONE device->host round trip for everything kernel 1 produced
+            # for the host (readback latency dominates size on the tunnel).
+            seeds_np, bad_id_np, bad_zero_np = jax.device_get((seeds, bad_id, bad_zero))
+            if bad_id_np.any():
+                raise VerificationFailed("Identity element cannot be added to the transcript")
+            if bad_zero_np.any():  # pragma: no cover - 2^-252
+                raise VerificationFailed("Transcript challenge cannot be zero")
+            weights = RangeProof._draw_weights([row.tobytes() for row in seeds_np], B)
 
-        def finish(ok=ok, valid=valid, m=m, rounds=rounds, masks=masks):
-            DeviceVerifier.raise_canonicality(np.asarray(valid), m, rounds)
-            if not bool(ok):
-                raise VerificationFailed("Range proof batch not valid")
-            return masks
+            masks: List[Optional[ExtendedMask]] = [None] * B
+            if action != VerifyAction.VERIFY_ONLY:
+                # Mask recovery is host scalar math; pull the challenges once.
+                y_np, z_np, es_np, e_np = jax.device_get((y, z, es, e))
+                y_i = unpack_ints(y_np)
+                z_i = unpack_ints(z_np)
+                es_i = unpack_ints(es_np.reshape(B * rounds, -1))
+                e_i = unpack_ints(e_np)
+                RangeProof._device_structural_checks(statements, proofs, bit_length, action)
+                masks = [
+                    RangeProof._recover_mask(
+                        st, pr,
+                        (y_i[k], z_i[k], es_i[k * rounds : (k + 1) * rounds], e_i[k]),
+                        extension_degree,
+                    )
+                    for k, (st, pr) in enumerate(zip(statements, proofs))
+                ]
+                if action == VerifyAction.RECOVER_ONLY:
+                    return masks
 
-        return finish
+            tables_ = max_statement.generators.bp_gens.fixed_tables_sliced(2 * max_mn)
+            g_base_pts, h_base_pt = gens.pc_gens.device_bases()
+            ok, valid = verify_group_bytes(
+                y, z, es, e,
+                jnp.asarray(pack_ints(weights)),
+                buf,
+                tables_, g_base_pts, h_base_pt,
+                m=m, bit_length=bit_length,
+                extension_degree=extension_degree, max_mn=max_mn,
+            )
+            for arr in (ok, valid):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    pass
+
+            def stage_c():
+                ok_np, valid_np = jax.device_get((ok, valid))
+                DeviceVerifier.raise_canonicality(valid_np, m, rounds)
+                if not bool(ok_np):
+                    raise VerificationFailed("Range proof batch not valid")
+                return masks
+
+            return stage_c
+
+        return stage_b
 
     @staticmethod
     def _draw_weights(seeds: Sequence[bytes], n: int) -> List[int]:

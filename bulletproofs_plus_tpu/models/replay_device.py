@@ -49,6 +49,54 @@ def _is_all_zero(data: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(data == 0, axis=-1)
 
 
+def row_layout(m: int, rounds: int, deg: int):
+    """Static byte layout of one proof's packed row:
+    [commits | min_vals | a | a1 | b | li | ri | r1 | s1 | d1]."""
+    sizes = {
+        "commits": m * 32,
+        "min_vals": m * 8,
+        "a": 32,
+        "a1": 32,
+        "b": 32,
+        "li": rounds * 32,
+        "ri": rounds * 32,
+        "r1": 32,
+        "s1": 32,
+        "d1": deg * 32,
+    }
+    offsets = {}
+    off = 0
+    for name, size in sizes.items():
+        offsets[name] = (off, off + size)
+        off += size
+    return offsets, off
+
+
+def unpack_row_buffer(buf: jnp.ndarray, m: int, rounds: int, deg: int):
+    """Slice a (B, stride) packed row buffer back into its fields (traced,
+    static offsets — free inside jit)."""
+    offsets, stride = row_layout(m, rounds, deg)
+    assert buf.shape[-1] == stride
+
+    def f(name, *shape):
+        lo, hi = offsets[name]
+        out = buf[:, lo:hi]
+        return out.reshape(buf.shape[0], *shape) if shape else out
+
+    return dict(
+        commits=f("commits", m, 32),
+        min_vals=f("min_vals", m, 8),
+        a=f("a"),
+        a1=f("a1"),
+        b=f("b"),
+        li=f("li", rounds, 32),
+        ri=f("ri", rounds, 32),
+        r1=f("r1"),
+        s1=f("s1"),
+        d1=f("d1", deg, 32),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def replay_fn(
     h_base_compressed: bytes,
@@ -64,15 +112,18 @@ def replay_fn(
     """Build (and cache) the jitted replay for one proof shape + generator set
     + initial transcript position.
 
-    Returned fn(state (B,200)u8, commits (B,m,32), min_vals (B,m,8),
-                a, a1, b (B,32), li, ri (B,rounds,32),
-                r1, s1 (B,32), d1 (B,deg,32))
+    Returned fn(state (B,200)u8, buf (B,stride)u8 per row_layout)
       -> (y, z (B,16), es (B,rounds,16), e (B,16) canonical limbs,
           seeds (B,32) u8, bad_identity (B,) bool, bad_zero (B,) bool)
     """
 
     @jax.jit
-    def replay(state, commits, min_vals, a, a1, b, li, ri, r1, s1, d1):
+    def replay(state, buf):
+        fields = unpack_row_buffer(buf, m, rounds, extension_degree)
+        commits, min_vals = fields["commits"], fields["min_vals"]
+        a, a1, b = fields["a"], fields["a1"], fields["b"]
+        li, ri = fields["li"], fields["ri"]
+        r1, s1, d1 = fields["r1"], fields["s1"], fields["d1"]
         t = JTranscript(JStrobe(state, pos, pos_begin, cur_flags))
         bad_identity = jnp.zeros(state.shape[0], dtype=bool)
         bad_zero = jnp.zeros(state.shape[0], dtype=bool)
@@ -129,36 +180,31 @@ def replay_fn(
     return replay
 
 
-def pack_replay_inputs(statements, proofs):
-    """Byte-level packing for the replay kernel — pure numpy reshapes, no
-    per-int Python work except the response scalars' to_bytes."""
+def pack_replay_inputs(statements, proofs) -> np.ndarray:
+    """Pack the whole batch into ONE (B, stride) uint8 buffer (row_layout
+    order) — a single host->device transfer feeds both the replay kernel and
+    the fused verify kernel.  Pure byte joins; the only per-int work is the
+    response scalars' to_bytes."""
     from ..ops import host_ristretto as hr
 
     B = len(proofs)
     m = len(statements[0].commitments)
     rounds = len(proofs[0].li)
     deg = len(proofs[0].d1)
+    _, stride = row_layout(m, rounds, deg)
 
-    def _blob(parts, shape):
-        return np.frombuffer(b"".join(parts), dtype=np.uint8).reshape(shape)
-
-    commits = _blob(
-        [c for s in statements for c in s.commitments_compressed], (B, m, 32)
-    )
-    min_vals = _blob(
-        [
-            (v or 0).to_bytes(8, "little")
-            for s in statements
-            for v in s.minimum_value_promises
-        ],
-        (B, m, 8),
-    )
-    a = _blob([p.a for p in proofs], (B, 32))
-    a1 = _blob([p.a1 for p in proofs], (B, 32))
-    b = _blob([p.b for p in proofs], (B, 32))
-    li = _blob([x for p in proofs for x in p.li], (B, rounds, 32))
-    ri = _blob([x for p in proofs for x in p.ri], (B, rounds, 32))
-    r1 = _blob([hr.scalar_to_bytes(p.r1) for p in proofs], (B, 32))
-    s1 = _blob([hr.scalar_to_bytes(p.s1) for p in proofs], (B, 32))
-    d1 = _blob([hr.scalar_to_bytes(v) for p in proofs for v in p.d1], (B, deg, 32))
-    return commits, min_vals, a, a1, b, li, ri, r1, s1, d1
+    rows = []
+    for s, p in zip(statements, proofs):
+        rows.append(b"".join(s.commitments_compressed))
+        rows.append(
+            b"".join((v or 0).to_bytes(8, "little") for v in s.minimum_value_promises)
+        )
+        rows.append(p.a)
+        rows.append(p.a1)
+        rows.append(p.b)
+        rows.append(b"".join(p.li))
+        rows.append(b"".join(p.ri))
+        rows.append(hr.scalar_to_bytes(p.r1))
+        rows.append(hr.scalar_to_bytes(p.s1))
+        rows.append(b"".join(hr.scalar_to_bytes(v) for v in p.d1))
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(B, stride)

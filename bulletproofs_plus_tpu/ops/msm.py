@@ -110,49 +110,47 @@ def pad_msm_inputs(scalars: jnp.ndarray, points: PointArray, target: int | None 
     return scalars, points
 
 
+def _halve_sum(points: PointArray, axis: int) -> PointArray:
+    """Unrolled halving sum over a power-of-two axis: log2(k) slice-adds.
+
+    Slices beat the earlier roll/scan formulations: rolls and the scanned
+    row fold materialised transposed copies of the whole point array every
+    step, which dominated the MSM's device time."""
+    k = points.x.shape[axis]
+    while k > 1:
+        half = k // 2
+        lo = PointArray(*(jax.lax.slice_in_dim(c, 0, half, axis=axis) for c in points))
+        hi = PointArray(*(jax.lax.slice_in_dim(c, half, k, axis=axis) for c in points))
+        points = ed.add(lo, hi)
+        k = half
+    return PointArray(*(jnp.squeeze(c, axis=axis) for c in points))
+
+
 def tree_reduce(points: PointArray) -> PointArray:
     """Sum points over their LAST lane axis: (..., n) points -> (...) points.
 
     The lane count must be a power of two up to 512, or any multiple of 512
-    beyond that (see _reduce_width).  Two-phase reduction built from exactly
-    two point-add bodies (keeps the compiled graph small — unrolled
-    log-depth trees made XLA compiles scale with MSM size):
-      1. a lax.scan over rows of a (..., R, C) reshape — O(n) work, one body,
-         vectorised across every leading batch axis;
-      2. a shift-add halving loop over the final C lanes.
+    beyond that (see _reduce_width).  Pure unrolled slice-halving — for a
+    non-power-of-two multiple of 512, the lanes reshape to (..., R, 512)
+    rows, R pads to a power of two with identities, and both axes halve:
+    ~log2(n) full-width vector adds, no rolls, transposes, or scans.
     """
-    lead = points.x.shape[:-2]
     n = points.x.shape[-2]
     if n == 1:
         return PointArray(*(c[..., 0, :] for c in points))
-    C = min(n, 512)
-    assert C & (C - 1) == 0 and n % C == 0, "tree_reduce needs pow2<=512 or multiple of 512 lanes"
+    if n & (n - 1) == 0:
+        return _halve_sum(points, axis=points.x.ndim - 2)
+    C = 512
+    assert n % C == 0, "tree_reduce needs pow2<=512 or multiple of 512 lanes"
     R = n // C
-
-    if R > 1:
-        # (R, ..., C, NLIMBS): scan axis leading, batch axes preserved
-        rows = PointArray(
-            *(jnp.moveaxis(c.reshape(lead + (R, C, NLIMBS)), -3, 0) for c in points)
-        )
-        first = PointArray(*(c[0] for c in rows))
-        rest = PointArray(*(c[1:] for c in rows))
-
-        def row_body(acc, row):
-            return ed.add(acc, row), None
-
-        acc, _ = jax.lax.scan(row_body, first, rest)
-    else:
-        acc = points
-
-    steps = C.bit_length() - 1
-
-    def halve_body(k, acc):
-        offset = jnp.int32(C) >> (k + 1)
-        rolled = PointArray(*(jnp.roll(c, -offset, axis=-2) for c in acc))
-        return ed.add(acc, rolled)
-
-    acc = jax.lax.fori_loop(0, steps, halve_body, acc)
-    return PointArray(*(c[..., 0, :] for c in acc))
+    lead = points.x.shape[:-2]
+    rows = PointArray(*(c.reshape(lead + (R, C, NLIMBS)) for c in points))
+    R2 = _next_pow2(R)
+    if R2 != R:
+        pad = ed.identity(lead + (R2 - R, C))
+        rows = PointArray(*(jnp.concatenate([c, p], axis=-3) for c, p in zip(rows, pad)))
+    acc = _halve_sum(rows, axis=rows.x.ndim - 3)  # (..., C) points
+    return _halve_sum(acc, axis=acc.x.ndim - 2)
 
 
 def digits4_nd(scalars: jnp.ndarray) -> jnp.ndarray:
@@ -189,18 +187,25 @@ def msm_kernel(scalars: jnp.ndarray, points: PointArray) -> PointArray:
     _, table = jax.lax.scan(tab_step, zero, None, length=16)  # table[d] = d*P
 
     digits = jnp.flip(digits4(scalars), axis=0)  # (64, n), MSB window first
-    d_iota = jnp.arange(16, dtype=jnp.int32)[:, None, None]  # (16, 1, 1)
 
-    def sel_body(_, digit):
-        # Table lookup as a masked sum (exactly one hit per lane): per-lane
-        # dynamic gathers are slow on TPU, a 16-way select+reduce is not.
-        eq = digit[None, :, None] == d_iota  # (16, n, 1)
-        sel = PointArray(
-            *(jnp.sum(jnp.where(eq, c, jnp.uint32(0)), axis=0) for c in table)
-        )
-        return None, sel
-
-    _, selected = jax.lax.scan(sel_body, None, digits)  # (64, n) points
+    # Table lookup as ONE one-hot MXU matmul over every window at once:
+    # out[w, l, c] = sum_d onehot[w, d, l] * table[d, l, c].  Limbs are
+    # < 2^16 and exactly one one-hot term fires, so float32 (HIGHEST) is
+    # exact.  This moves the lookup — formerly a 16-way compare+masked-sum
+    # per window on the VPU — onto the systolic array.
+    tabf = jnp.concatenate(table, axis=-1).astype(jnp.float32)  # (16, n, 64)
+    onehot = (
+        digits[:, None, :] == jnp.arange(16, dtype=jnp.int32)[None, :, None]
+    ).astype(jnp.float32)  # (64, 16, n)
+    sel = jnp.einsum(
+        "wdl,dlc->wlc", onehot, tabf, precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.uint32)  # (64, n, 64)
+    selected = PointArray(
+        sel[..., 0:NLIMBS],
+        sel[..., NLIMBS : 2 * NLIMBS],
+        sel[..., 2 * NLIMBS : 3 * NLIMBS],
+        sel[..., 3 * NLIMBS :],
+    )
     wsums = tree_reduce(selected)  # (64,) points, MSB window first
 
     one_pt = PointArray(*(c[0] for c in ed._identity_like(points)))

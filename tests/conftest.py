@@ -10,6 +10,15 @@ through jax.config before the first backend query.
 """
 
 import os
+import resource
+
+# The XLA CPU compiler recurses deeply on the prover's fused kernels and
+# segfaults at the default 8MB stack; let the main-thread stack grow.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK, (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):  # pragma: no cover
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -20,7 +29,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic kernels compile slowly on
-# XLA CPU; caching makes repeated test runs cheap.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# XLA CPU; caching makes repeated test runs cheap.  NOTE: a separate dir from
+# the TPU runs' cache — the tunnel's host has a newer CPU, and its AOT CPU
+# artifacts SIGILL-crash this machine if loaded (observed: avx512/amx feature
+# mismatch).
+os.makedirs("/root/repo/.jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
