@@ -217,8 +217,12 @@ def main() -> None:
     )
 
     # ---- secondary: prove latency p50 (gated: compiles a big kernel set) ------
+    # Warm reference numbers (2026-08-17, single v5e): 16.9 proofs/s at B=32,
+    # 33.1 proofs/s at B=128 (sub-linear in B).  Gated because the first
+    # compile of a (B, shape) prover kernel set through the TPU tunnel takes
+    # ~10-15 minutes.
     if os.environ.get("BPP_BENCH_PROVE", "0") == "1":
-        PB = 32
+        PB = 128
         pr_statements, pr_witnesses = [], []
         for i in range(PB):
             v, b = (1 << 62) + i, 13371337 + i

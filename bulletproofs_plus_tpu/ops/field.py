@@ -153,19 +153,16 @@ def _conv_pair_planes(prod: jnp.ndarray):
     """Anti-diagonal sums of a (..., na, nb) uint32 product grid, returning
     the (lo16-part, hi16-part) coefficient vectors, each (..., na+nb-1).
 
-    One stacked f32 HIGHEST matmul over the (lo, hi) halves.  (A bf16
-    byte-plane variant — 4 single-pass planes instead of 2x6 HIGHEST passes —
-    measured ~50% SLOWER on v5e: the u32<->bf16 conversions and plane
-    recombines cost more VPU time than the saved MXU passes.)
+    Two separate f32 HIGHEST matmuls — measured fastest on v5e.  Rejected
+    variants (measured, do not re-try without a device profile): a single
+    stacked matmul over both halves (~35% slower), and bf16 byte planes
+    (4 single passes instead of 2x6 HIGHEST passes, ~50% slower — the
+    u32<->bf16 conversions and plane recombines cost more than the saved
+    MXU passes).
     """
-    na, nb = prod.shape[-2], prod.shape[-1]
-    t = jnp.asarray(_antidiag_matrix(na, nb))
-    halves = jnp.stack([prod & _MASKV, prod >> _U16])  # (2, ..., na, nb) < 2^16
-    flat = halves.reshape((2,) + prod.shape[:-2] + (na * nb,)).astype(jnp.float32)
-    out = jnp.dot(
-        flat, t, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
-    ).astype(jnp.uint32)  # (2, ..., na+nb-1), entries < 2^21
-    return out[0], out[1]
+    lo = _conv_antidiag(prod & _MASKV)  # (..., na+nb-1), entries < 2^20
+    hi = _conv_antidiag(prod >> _U16)
+    return lo, hi
 
 
 def mul_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -110,47 +110,52 @@ def pad_msm_inputs(scalars: jnp.ndarray, points: PointArray, target: int | None 
     return scalars, points
 
 
-def _halve_sum(points: PointArray, axis: int) -> PointArray:
-    """Unrolled halving sum over a power-of-two axis: log2(k) slice-adds.
-
-    Slices beat the earlier roll/scan formulations: rolls and the scanned
-    row fold materialised transposed copies of the whole point array every
-    step, which dominated the MSM's device time."""
-    k = points.x.shape[axis]
-    while k > 1:
-        half = k // 2
-        lo = PointArray(*(jax.lax.slice_in_dim(c, 0, half, axis=axis) for c in points))
-        hi = PointArray(*(jax.lax.slice_in_dim(c, half, k, axis=axis) for c in points))
-        points = ed.add(lo, hi)
-        k = half
-    return PointArray(*(jnp.squeeze(c, axis=axis) for c in points))
-
-
 def tree_reduce(points: PointArray) -> PointArray:
     """Sum points over their LAST lane axis: (..., n) points -> (...) points.
 
     The lane count must be a power of two up to 512, or any multiple of 512
-    beyond that (see _reduce_width).  Pure unrolled slice-halving — for a
-    non-power-of-two multiple of 512, the lanes reshape to (..., R, 512)
-    rows, R pads to a power of two with identities, and both axes halve:
-    ~log2(n) full-width vector adds, no rolls, transposes, or scans.
+    beyond that (see _reduce_width).  Two-phase reduction built from exactly
+    two point-add bodies (keeps the compiled graph small — unrolled
+    log-depth trees made XLA compiles scale with MSM size):
+      1. a lax.scan over rows of a (..., R, C) reshape — O(n) work, one body,
+         vectorised across every leading batch axis;
+      2. a shift-add halving loop over the final C lanes.
+    (An unrolled slice-halving variant measured ~2x SLOWER on v5e — the
+    strided half-array copies beat the rolls' full-width copies only on
+    paper; don't re-try without a device profile.)
     """
+    lead = points.x.shape[:-2]
     n = points.x.shape[-2]
     if n == 1:
         return PointArray(*(c[..., 0, :] for c in points))
-    if n & (n - 1) == 0:
-        return _halve_sum(points, axis=points.x.ndim - 2)
-    C = 512
-    assert n % C == 0, "tree_reduce needs pow2<=512 or multiple of 512 lanes"
+    C = min(n, 512)
+    assert C & (C - 1) == 0 and n % C == 0, "tree_reduce needs pow2<=512 or multiple of 512 lanes"
     R = n // C
-    lead = points.x.shape[:-2]
-    rows = PointArray(*(c.reshape(lead + (R, C, NLIMBS)) for c in points))
-    R2 = _next_pow2(R)
-    if R2 != R:
-        pad = ed.identity(lead + (R2 - R, C))
-        rows = PointArray(*(jnp.concatenate([c, p], axis=-3) for c, p in zip(rows, pad)))
-    acc = _halve_sum(rows, axis=rows.x.ndim - 3)  # (..., C) points
-    return _halve_sum(acc, axis=acc.x.ndim - 2)
+
+    if R > 1:
+        # (R, ..., C, NLIMBS): scan axis leading, batch axes preserved
+        rows = PointArray(
+            *(jnp.moveaxis(c.reshape(lead + (R, C, NLIMBS)), -3, 0) for c in points)
+        )
+        first = PointArray(*(c[0] for c in rows))
+        rest = PointArray(*(c[1:] for c in rows))
+
+        def row_body(acc, row):
+            return ed.add(acc, row), None
+
+        acc, _ = jax.lax.scan(row_body, first, rest)
+    else:
+        acc = points
+
+    steps = C.bit_length() - 1
+
+    def halve_body(k, acc):
+        offset = jnp.int32(C) >> (k + 1)
+        rolled = PointArray(*(jnp.roll(c, -offset, axis=-2) for c in acc))
+        return ed.add(acc, rolled)
+
+    acc = jax.lax.fori_loop(0, steps, halve_body, acc)
+    return PointArray(*(c[..., 0, :] for c in acc))
 
 
 def digits4_nd(scalars: jnp.ndarray) -> jnp.ndarray:
