@@ -216,12 +216,11 @@ def main() -> None:
         fraction_of_peak=round(sol / t_msm, 4),
     )
 
-    # ---- secondary: prove latency p50 (gated: compiles a big kernel set) ------
-    # Warm reference numbers (2026-08-17, single v5e): 16.9 proofs/s at B=32,
-    # 33.1 proofs/s at B=128 (sub-linear in B).  Gated because the first
-    # compile of a (B, shape) prover kernel set through the TPU tunnel takes
-    # ~10-15 minutes.
-    if os.environ.get("BPP_BENCH_PROVE", "0") == "1":
+    # ---- secondary: prove latency p50 ------------------------------------------
+    # Round 3 rebuilt the prover as ONE fused kernel (in-kernel Fiat-Shamir +
+    # fixed-base round MSMs, models/prover_device.py) — a single compile per
+    # (B, shape), so this runs by default.  Opt out with BPP_BENCH_PROVE=0.
+    if os.environ.get("BPP_BENCH_PROVE", "1") == "1":
         PB = 128
         pr_statements, pr_witnesses = [], []
         for i in range(PB):

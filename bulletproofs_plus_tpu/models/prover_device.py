@@ -1,43 +1,55 @@
-"""Batched device prover: B same-shape proofs in lockstep.
+"""Batched device prover: B same-shape proofs in lockstep, ONE fused kernel.
 
-TPU-native counterpart of the reference's prover (range_proof.rs:232-608).
-The reference proves one statement at a time on one core; here the batch is
-an array axis end-to-end:
+TPU-native counterpart of the reference's prover (range_proof.rs:232-608),
+redesigned round 3 around two ideas:
 
-  * all B Fiat-Shamir transcripts advance together through one
-    numpy-vectorised STROBE sponge (utils/merlin.py);
-  * bit vectors, folding scalars, and the gi/hi generator vectors live on
-    device as (B, n, 16)-limb arrays / (B, n) point arrays;
-  * each inner-product round runs two vmapped MSM ladders (L, R), one
-    batched compression, and one batched fold — the only host work is the
-    transcript hash between rounds (the protocol's inherent sync points,
-    SURVEY.md §3.1);
-  * the A commitment uses the precomputed fixed-base tables.
+1. **Fixed-base reformulation.**  The reference folds the generator vectors
+   every round and computes L/R as variable-point MSMs over the folded
+   points (range_proof.rs:409-537).  Folded generators are linear in the
+   ORIGINAL generators, so we never fold points at all: we track per-lane
+   scalar coefficients (g_coeff/h_coeff) and compute every round's L/R —
+   and the final A1/B — as fixed-base MSMs over the original gi/hi/H/G_k,
+   whose 4-bit digit tables are precomputed (ops/fixed_base.py).  Point
+   work per round collapses from ~900 sequential ladder steps to one
+   one-hot MXU table lookup plus a ~25-step halving tree reduction.
 
-Shapes are static per (B, bit_length, m, extension_degree), so the prover
-compiles one kernel set per shape (log2(mn) round sizes), cached across
-calls.
+2. **In-kernel Fiat-Shamir.**  The whole protocol — A commitment, y/z/e
+   challenges, per-round transcript RNG rebuilds and d_L/d_R draws, folding,
+   alpha bookkeeping, final assembly — runs inside ONE jitted program using
+   the traced Merlin sponge (utils/jstrobe.py).  External RNG bytes are
+   pre-drawn on host (same call sequence as the sequential prover, so
+   streams stay bit-identical) and keyed into the traced sponge.  The only
+   device->host sync is the final readback of the finished proofs.
+
+Bit-exactness contract: proofs (and the caller's transcript states) are
+byte-identical to sequential `RangeProof.prove_with_rng` calls with the
+same per-lane RNG streams (tests/test_prover_batch.py).
+
+Shapes are static per (B, bit_length, m, extension_degree, seeded), so the
+prover compiles ONE kernel per shape, cached across calls.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import InvalidArgument, InvalidLength
+from ..errors import InvalidArgument, InvalidLength, VerificationFailed
 from ..gens.pedersen import ExtensionDegree
 from ..ops import edwards as ed
 from ..ops import field as F
 from ..ops import host_ristretto as hr
 from ..ops import ristretto as rist
 from ..ops.edwards import PointArray
-from ..ops.limbs import NLIMBS, bytes_from_limbs, int_from_limbs, pack_ints
-from ..ops.msm import msm_kernel
+from ..ops.fixed_base import fixed_msm_batched
+from ..ops.limbs import NLIMBS, bytes_from_limbs, pack_ints
+from ..ops.msm import tree_reduce
 from ..utils.hashing import nonce
+from ..utils.jstrobe import JStrobe, JTranscript
 from ..utils.merlin import Transcript
 from .statement import RangeStatement, RangeWitness
 from .transcripts import RangeProofTranscript
@@ -49,185 +61,361 @@ def _limbs(values: Sequence[int]) -> jnp.ndarray:
     return jnp.asarray(pack_ints([v % L for v in values]))
 
 
-@functools.partial(jax.jit, static_argnames=("m", "bit_length"))
-def _prove_vectors(a_li, a_ri, y, y_inv, z, *, m, bit_length):
-    """Full post-challenge preparation: returns updated a_li, a_ri, y_powers,
-    y_inv_powers.  The inverse-power ladder keeps every round's y^{-n} on
-    device, so the folding loop has NO per-round device->host sync for it
-    (y_inv itself is free on host: the prover already holds y as an int)."""
-    from .verifier_kernels import _power_ladder
+def _bytes_to_limbs(data: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2k) uint8 LE -> (..., k) uint32 limbs (radix 2^16), traced."""
+    lo = data[..., 0::2].astype(jnp.uint32)
+    hi = data[..., 1::2].astype(jnp.uint32)
+    return lo | (hi << jnp.uint32(8))
 
-    B = y.shape[0]
+
+def _limbs_to_bytes(limbs: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16) uint32 limbs (< 2^16) -> (..., 32) uint8 LE, traced."""
+    lo = (limbs & jnp.uint32(0xFF)).astype(jnp.uint8)
+    hi = (limbs >> jnp.uint32(8)).astype(jnp.uint8)
+    return jnp.stack([lo, hi], axis=-1).reshape(limbs.shape[:-1] + (2 * limbs.shape[-1],))
+
+
+def _wide_to_scalar(wide: jnp.ndarray) -> jnp.ndarray:
+    """(B, 64) uint8 -> (B, 16) canonical limbs via wide Barrett reduction."""
+    return F.reduce_wide_l(_bytes_to_limbs(wide))
+
+
+def _batch_sum_l(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Modular sum of canonical scalars along `axis` (< 2^16 terms): one raw
+    uint32 sum + one Barrett reduction."""
+    raw = jnp.sum(x, axis=axis, dtype=jnp.uint32)
+    return F.barrett_reduce(F.carry_prop(raw, 32))
+
+
+@functools.lru_cache(maxsize=None)
+def _prover_fn(
+    m: int,
+    bit_length: int,
+    deg: int,
+    seeded: bool,
+    witness_len: int,
+    pos: int,
+    pos_begin: int,
+    cur_flags: int,
+):
+    """Build (and cache) the fused prover kernel for one proof shape and
+    initial transcript position.
+
+    Returns (jitted_fn, final_positions_cell); the cell is filled with the
+    transcript's final (pos, pos_begin, cur_flags) during tracing (the op
+    sequence is static, so positions are trace-time constants) — used to
+    write the finished transcript state back into the caller's transcripts.
+    """
     mn = m * bit_length
-    one = jnp.broadcast_to(jnp.asarray(pack_ints([1])[0]), y.shape)
-    y_powers = _power_ladder(y, one, mn + 2)
-    y_inv_powers = _power_ladder(y_inv, one, mn + 2)
-    z_square = F.sqr_l(z)
+    rounds = mn.bit_length() - 1
+    assert 1 << rounds == mn, "aggregation size must be a power of two"
+    final_positions: dict = {}
 
-    two_pows = jnp.asarray(pack_ints([pow(2, i, L) for i in range(bit_length)]))
-    z2_pows = _power_ladder(z_square, z_square, m)  # z^{2(j+1)}
-    d = F.mul_l(z2_pows[:, :, None, :], two_pows[None, None, :, :]).reshape(B, mn, NLIMBS)
+    def prove(
+        state,  # (B, 200) uint8: transcript after statement absorbs
+        witness_bytes,  # (B, W) uint8
+        ext_blocks,  # (rounds+1, B, 32) uint8: external RNG rebuild keys
+        bits,  # (B, mn) uint32 in {0, 1}
+        alpha0,  # (B, deg, 16) limbs (pre-z-term masks)
+        r_blind,  # (B, m, deg, 16) limbs: witness blinding factors
+        gihi_tables,  # fixed tables over interleaved [g0 h0 g1 h1 ...], >= 2mn lanes
+        hg_tables,  # fixed tables over [G_1..G_deg, H]
+        d_l_in,  # (rounds, B, deg, 16) nonce limbs (seeded) or zeros
+        d_r_in,
+        d_mask_in,  # (B, deg, 16) nonce limbs (seeded) or zeros
+        eta_in,
+    ):
+        B = state.shape[0]
+        t = JTranscript(JStrobe(state, pos, pos_begin, cur_flags))
+        bad_identity = jnp.zeros(B, dtype=bool)
+        bad_zero = jnp.zeros(B, dtype=bool)
+        bad_draw = jnp.zeros(B, dtype=bool)
 
-    a_li2 = F.sub_l(a_li, z[:, None])
-    y_rev = jnp.flip(y_powers[:, 1 : mn + 1], axis=1)  # y^{mn-i} for i in 0..mn
-    a_ri2 = F.add_l(a_ri, F.add_l(F.mul_l(d, y_rev), z[:, None]))
-    return a_li2, a_ri2, y_powers, y_inv_powers
+        def validate_append(label, comp_limbs):
+            nonlocal bad_identity
+            bad_identity = bad_identity | F.is_zero_l(comp_limbs)
+            t.append_message(label, _limbs_to_bytes(comp_limbs))
 
+        def challenge(label):
+            nonlocal bad_zero
+            s = _wide_to_scalar(t.challenge_bytes(label, 64))
+            bad_zero = bad_zero | F.is_zero_l(s)
+            return s
 
-@functools.partial(jax.jit, static_argnames=("half",))
-def _round_lr(a_li, a_ri, gi, hi, y_powers, y_n_inv, d_l, d_r, hg_tables, *, half):
-    """One folding round's L/R computation (range_proof.rs:409-495 analog).
+        def build_rng(block):
+            return (
+                t.build_rng()
+                .rekey_with_witness_bytes(b"witness", witness_bytes)
+                .finalize_with(block)
+            )
 
-    a_li/a_ri: (B, 2*half, 16); gi/hi: (B, 2*half) points;
-    y_powers: (B, >=2*half+2, 16); y_n_inv: (B, 16); d_l/d_r: (B, deg, 16);
-    hg_tables: PedersenGens.device_base_tables() over [G_1..G_deg, H].
-    Returns (L, R compressed (B,16), a_lo_offset, a_hi_offset carried state).
+        def draw_not_zero(rng):
+            nonlocal bad_draw
+            s = _wide_to_scalar(rng.fill_bytes(64))
+            bad_draw = bad_draw | F.is_zero_l(s)
+            return s
 
-    Each of L/R splits into its fixed-base part (c*H + sum d*G via the digit
-    tables — no ladders) plus a 2*half-lane variable MSM over the folded
-    generators (exact power-of-two lane count, no padding waste).
-    """
-    n = half
-    a_lo, a_hi = a_li[:, :n], a_li[:, n:]
-    b_lo, b_hi = a_ri[:, :n], a_ri[:, n:]
-    y_n = y_powers[:, n]
+        # Original generators come straight out of the tables: window 0
+        # digit 1 is 1 * P (interleaved [g0 h0 g1 h1 ...]).
+        gi_pts = PointArray(*(c[0, 1, 0 : 2 * mn : 2] for c in gihi_tables))
+        hi_pts = PointArray(*(c[0, 1, 1 : 2 * mn : 2] for c in gihi_tables))
 
-    a_lo_offset = F.mul_l(a_lo, y_n_inv[:, None])
-    a_hi_offset = F.mul_l(a_hi, y_n[:, None])
+        # --- A commitment (range_proof.rs:299-345): the static scalars ARE
+        # the bit decomposition (a_li in {0,1}, a_ri in {0,-1}), so the MSM
+        # collapses to two masked halving reductions + the alpha digit MSM.
+        ones = bits == 1
+        gi_b = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in gi_pts))
+        hi_b = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in hi_pts))
+        idp = ed.identity((B, mn))
+        sel = PointArray(
+            *(
+                jnp.concatenate([g, h], axis=1)
+                for g, h in zip(
+                    ed.select(ones, gi_b, idp), ed.select(ones, idp, ed.neg(hi_b))
+                )
+            )
+        )
+        a_pt = ed.add(
+            tree_reduce(sel),
+            fixed_msm_batched(alpha0, PointArray(*(c[:, :, :deg] for c in hg_tables))),
+        )
+        a_comp = rist.compress(a_pt)
 
-    # c_l = sum_i a_lo[i] * y^{1+i} * b_hi[i]; c_r with y^{n+1+i} and swapped
-    def _batched_dot(a, ypows, b):
-        prod = F.mul_l(F.mul_l(a, ypows), b)  # (B, n, 16)
-        raw = jnp.sum(prod, axis=1, dtype=jnp.uint32)
-        return F.barrett_reduce(F.carry_prop(raw, 32))
+        # --- challenges y, z (transcripts.rs:124-138 order: append A, build
+        # RNG from the pre-squeeze state, then squeeze y and z)
+        validate_append(b"A", a_comp)
+        rng = build_rng(ext_blocks[0])
+        y = challenge(b"y")
+        z = challenge(b"z")
 
-    c_l = _batched_dot(a_lo, y_powers[:, 1 : n + 1], b_hi)
-    c_r = _batched_dot(a_hi, y_powers[:, n + 1 : 2 * n + 1], b_lo)
+        from .verifier_kernels import _power_ladder
 
-    gi_lo = PointArray(*(c[:, :n] for c in gi))
-    gi_hi = PointArray(*(c[:, n:] for c in gi))
-    hi_lo = PointArray(*(c[:, :n] for c in hi))
-    hi_hi = PointArray(*(c[:, n:] for c in hi))
+        one = jnp.broadcast_to(_limbs([1])[0], y.shape)
+        y_powers = _power_ladder(y, one, mn + 2)  # (B, mn+2, 16): y^0..y^{mn+1}
+        y_inv = F.inv_l(y)
+        y_inv_powers = _power_ladder(y_inv, one, mn + 2)
+        z_square = F.sqr_l(z)
 
-    l_fixed = _fixed_digit_sum(jnp.concatenate([d_l, c_l[:, None]], axis=1), hg_tables)
-    r_fixed = _fixed_digit_sum(jnp.concatenate([d_r, c_r[:, None]], axis=1), hg_tables)
+        # d vector and vector prep (range_proof.rs:350-365)
+        two_pows = jnp.asarray(pack_ints([pow(2, i, L) for i in range(bit_length)]))
+        z2_pows = _power_ladder(z_square, z_square, m)  # (B, m): z^{2(j+1)}
+        d = F.mul_l(z2_pows[:, :, None, :], two_pows[None, None]).reshape(B, mn, NLIMBS)
+        bits_limb = jnp.zeros((B, mn, NLIMBS), jnp.uint32).at[:, :, 0].set(bits)
+        minus_one = jnp.broadcast_to(_limbs([L - 1])[0], (B, mn, NLIMBS))
+        a_ri0 = F.select(ones, jnp.zeros((B, mn, NLIMBS), jnp.uint32), minus_one)
+        y_rev = jnp.flip(y_powers[:, 1 : mn + 1], axis=1)  # y^{mn-i}
+        av = F.sub_l(bits_limb, z[:, None])  # spread a vector
+        bv = F.add_l(a_ri0, F.add_l(F.mul_l(d, y_rev), z[:, None]))  # spread b
 
-    def lane_msm(scalars, points):
-        return msm_kernel(scalars, points)
+        # alpha += z^{2(j+1)} * r_jk * y^{mn+1} (range_proof.rs:367-373)
+        y_mn1 = y_powers[:, mn + 1]
+        alpha_terms = F.mul_l(
+            F.mul_l(z2_pows, y_mn1[:, None])[:, :, None], r_blind
+        )  # (B, m, deg, 16)
+        alpha = F.add_l(alpha0, _batch_sum_l(alpha_terms, axis=1))
 
-    l_scalars = jnp.concatenate([a_lo_offset, b_hi], axis=1)  # (B, 2n, 16)
-    l_points = PointArray(*(jnp.concatenate([ghi, hlo], axis=1) for ghi, hlo in zip(gi_hi, hi_lo)))
-    r_scalars = jnp.concatenate([a_hi_offset, b_lo], axis=1)
-    r_points = PointArray(*(jnp.concatenate([glo, hhi], axis=1) for glo, hhi in zip(gi_lo, hi_hi)))
+        # Per-lane folded-generator coefficients: gi'_r[p] = sum over original
+        # lanes i with (i mod 2n) == p of g_coeff[i] * gi[i].
+        g_coeff = jnp.broadcast_to(one[:, None], (B, mn, NLIMBS))
+        h_coeff = g_coeff
 
-    l_pt = ed.add(jax.vmap(lane_msm)(l_scalars, l_points), l_fixed)
-    r_pt = ed.add(jax.vmap(lane_msm)(r_scalars, r_points), r_fixed)
-    return rist.compress(l_pt), rist.compress(r_pt), a_lo_offset, a_hi_offset
+        li_comps = []
+        ri_comps = []
+        pedersen_tables = hg_tables  # [G_1..G_deg, H], S = deg+1
 
+        for r in range(rounds):
+            n = mn >> (r + 1)
+            pos_arr = np.arange(mn) % (2 * n)
+            hi_mask = jnp.asarray(pos_arr >= n)  # (mn,)
+            y_n = y_powers[:, n]
+            y_n_inv = y_inv_powers[:, n]
 
-@jax.jit
-def _round_fold(a_li, a_ri, gi, hi, a_hi_offset, e, e_inv, y_n_inv):
-    """Fold state by the round challenge (range_proof.rs:510-537 analog)."""
-    n = a_li.shape[1] // 2
-    a_lo, _ = a_li[:, :n], a_li[:, n:]
-    b_lo, b_hi = a_ri[:, :n], a_ri[:, n:]
-    gi_lo = PointArray(*(c[:, :n] for c in gi))
-    gi_hi = PointArray(*(c[:, n:] for c in gi))
-    hi_lo = PointArray(*(c[:, :n] for c in hi))
-    hi_hi = PointArray(*(c[:, n:] for c in hi))
+            if seeded:
+                d_l = d_l_in[r]
+                d_r = d_r_in[r]
+            else:
+                d_l = jnp.stack([draw_not_zero(rng) for _ in range(deg)], axis=1)
+                d_r = jnp.stack([draw_not_zero(rng) for _ in range(deg)], axis=1)
 
-    e_y_n_inv = F.mul_l(e, y_n_inv)
-    B = e.shape[0]
-
-    def _bcast(s):
-        return jnp.broadcast_to(s[:, None], (B, n, NLIMBS))
-
-    gi2 = ed.double_scalar_mul(_bcast(e_inv), gi_lo, _bcast(e_y_n_inv), gi_hi)
-    hi2 = ed.double_scalar_mul(_bcast(e), hi_lo, _bcast(e_inv), hi_hi)
-    a_li2 = F.add_l(F.mul_l(a_lo, e[:, None]), F.mul_l(a_hi_offset, e_inv[:, None]))
-    a_ri2 = F.add_l(F.mul_l(b_lo, e_inv[:, None]), F.mul_l(b_hi, e[:, None]))
-    return a_li2, a_ri2, gi2, hi2
-
-
-@jax.jit
-def _final_points(gi0, hi0, r, s, d_mask, eta, ry_ar, rys, hg_tables):
-    """A1 and B (range_proof.rs:573-584 analog), batched.
-
-    A1 = r*gi0 + s*hi0 (variable points, shared-window Straus) plus
-    ry_ar*H + sum_k d_mask_k*G_k through the fixed-base digit tables;
-    B = rys*H + sum_k eta_k*G_k entirely table-driven.
-
-    gi0/hi0: (B,) points; r, s: (B,16); d_mask/eta: (B,deg,16);
-    ry_ar = r*y*a_ri0 + s*y*a_li0: (B,16); rys = r*y*s: (B,16);
-    hg_tables: PedersenGens.device_base_tables() over [G_1..G_deg, H].
-    """
-    a1_var = ed.double_scalar_mul(r, gi0, s, hi0)
-    a1_fix = _fixed_digit_sum(jnp.concatenate([d_mask, ry_ar[:, None]], axis=1), hg_tables)
-    b_pt = _fixed_digit_sum(jnp.concatenate([eta, rys[:, None]], axis=1), hg_tables)
-    return rist.compress(ed.add(a1_var, a1_fix)), rist.compress(b_pt)
-
-
-def _fixed_digit_sum(scalars: jnp.ndarray, tables: PointArray) -> PointArray:
-    """sum_k scalars[..., k] * P_k for FIXED points with digit tables
-    (coords (64, 16, S, 16)): per window a 16-way masked select, then one
-    halving reduction over (windows x S) — no doublings, batched over
-    scalars' leading axes."""
-    from ..ops.msm import _next_pow2, digits4_nd, tree_reduce
-
-    lead = scalars.shape[:-2]
-    S = scalars.shape[-2]
-    if tables.x.shape[2] != S:  # tables carry [G_1..G_deg, H]; take first S
-        tables = PointArray(*(c[:, :, :S] for c in tables))
-    digits = digits4_nd(scalars)  # (64, ..., S) window-major LSB-first
-    d_iota = jnp.arange(16, dtype=jnp.int32)
-    eq = digits[:, None] == d_iota.reshape((1, 16) + (1,) * (len(lead) + 1))  # (64,16,...,S)
-    sel = PointArray(
-        *(
-            jnp.sum(
-                jnp.where(
-                    eq[..., None],
-                    c.reshape((64, 16) + (1,) * len(lead) + (S, NLIMBS)),
-                    jnp.uint32(0),
-                ),
+            # c_l = sum_{j<n} a[j] y^{1+j} b[j+n]; c_r with y^{n+1+j}, halves
+            # swapped (range_proof.rs:430-443).  The first 2n spread lanes
+            # are the canonical folded vectors, so static slices suffice.
+            c_l = _batch_sum_l(
+                F.mul_l(F.mul_l(av[:, :n], y_powers[:, 1 : n + 1]), bv[:, n : 2 * n]),
                 axis=1,
             )
-            for c in tables
+            c_r = _batch_sum_l(
+                F.mul_l(F.mul_l(av[:, n : 2 * n], y_powers[:, n + 1 : 2 * n + 1]), bv[:, :n]),
+                axis=1,
+            )
+
+            # L/R as fixed-base MSMs over the ORIGINAL generators: substitute
+            # gi'[p] = sum g_coeff[i] gi[i] into range_proof.rs:445-458.
+            zero_s = jnp.zeros((B, mn, NLIMBS), jnp.uint32)
+            l_gi = F.select(
+                hi_mask[None],
+                F.mul_l(F.mul_l(g_coeff, jnp.roll(av, n, axis=1)), y_n_inv[:, None]),
+                zero_s,
+            )
+            l_hi = F.select(
+                hi_mask[None], zero_s, F.mul_l(h_coeff, jnp.roll(bv, -n, axis=1))
+            )
+            r_gi = F.select(
+                hi_mask[None],
+                zero_s,
+                F.mul_l(F.mul_l(g_coeff, jnp.roll(av, -n, axis=1)), y_n[:, None]),
+            )
+            r_hi = F.select(
+                hi_mask[None], F.mul_l(h_coeff, jnp.roll(bv, n, axis=1)), zero_s
+            )
+
+            def interleave(g, h):
+                return jnp.stack([g, h], axis=2).reshape(B, 2 * mn, NLIMBS)
+
+            lr_static = jnp.stack(
+                [interleave(l_gi, l_hi), interleave(r_gi, r_hi)], axis=1
+            )  # (B, 2, 2mn, 16)
+            lr_fixed = jnp.stack(
+                [
+                    jnp.concatenate([d_l, c_l[:, None]], axis=1),
+                    jnp.concatenate([d_r, c_r[:, None]], axis=1),
+                ],
+                axis=1,
+            )  # (B, 2, deg+1, 16)
+            lr_pts = ed.add(
+                fixed_msm_batched(lr_static, gihi_tables),
+                fixed_msm_batched(lr_fixed, pedersen_tables),
+            )
+            lr_comp = rist.compress(lr_pts)  # (B, 2, 16)
+            li_comps.append(lr_comp[:, 0])
+            ri_comps.append(lr_comp[:, 1])
+
+            validate_append(b"L", lr_comp[:, 0])
+            validate_append(b"R", lr_comp[:, 1])
+            rng = build_rng(ext_blocks[r + 1])
+            e = challenge(b"e")
+            e_inv = F.inv_l(e)
+            e_sq = F.sqr_l(e)
+            e_inv_sq = F.sqr_l(e_inv)
+
+            # Folds (range_proof.rs:510-537), in spread form: lanes with
+            # position p' = i mod n read their lo value at position p' and
+            # their hi value at p' + n via static rolls.
+            av_lo = F.select(hi_mask[None], jnp.roll(av, n, axis=1), av)
+            av_hi = F.select(hi_mask[None], av, jnp.roll(av, -n, axis=1))
+            bv_lo = F.select(hi_mask[None], jnp.roll(bv, n, axis=1), bv)
+            bv_hi = F.select(hi_mask[None], bv, jnp.roll(bv, -n, axis=1))
+            e_y_n = F.mul_l(e_inv, y_n)
+            av = F.add_l(
+                F.mul_l(av_lo, e[:, None]), F.mul_l(av_hi, e_y_n[:, None])
+            )
+            bv = F.add_l(
+                F.mul_l(bv_lo, e_inv[:, None]), F.mul_l(bv_hi, e[:, None])
+            )
+            g_coeff = F.mul_l(
+                g_coeff,
+                F.select(
+                    hi_mask[None],
+                    jnp.broadcast_to(F.mul_l(e, y_n_inv)[:, None], (B, mn, NLIMBS)),
+                    jnp.broadcast_to(e_inv[:, None], (B, mn, NLIMBS)),
+                ),
+            )
+            h_coeff = F.mul_l(
+                h_coeff,
+                F.select(
+                    hi_mask[None],
+                    jnp.broadcast_to(e_inv[:, None], (B, mn, NLIMBS)),
+                    jnp.broadcast_to(e[:, None], (B, mn, NLIMBS)),
+                ),
+            )
+            alpha = F.add_l(
+                alpha,
+                F.add_l(
+                    F.mul_l(d_l, e_sq[:, None]), F.mul_l(d_r, e_inv_sq[:, None])
+                ),
+            )
+
+        # --- final masks and A1/B (range_proof.rs:540-584)
+        r_s = draw_not_zero(rng)
+        s_s = draw_not_zero(rng)
+        if seeded:
+            d_mask = d_mask_in
+            eta = eta_in
+        else:
+            d_mask = jnp.stack([draw_not_zero(rng) for _ in range(deg)], axis=1)
+            eta = jnp.stack([draw_not_zero(rng) for _ in range(deg)], axis=1)
+
+        a0 = av[:, 0]
+        b0 = bv[:, 0]
+        y1 = y_powers[:, 1]
+        ry = F.mul_l(r_s, y1)
+        ry_ar = F.add_l(F.mul_l(ry, b0), F.mul_l(F.mul_l(s_s, y1), a0))
+        rys = F.mul_l(ry, s_s)
+
+        def interleave(g, h):
+            return jnp.stack([g, h], axis=2).reshape(B, 2 * mn, NLIMBS)
+
+        # A1 = r*gi'[0] + s*hi'[0] + ry_ar*H + sum d_mask*G; gi'[0] spans ALL
+        # original lanes after the last fold.  B rides the same batched MSM
+        # with zero static scalars.
+        a1_static = interleave(
+            F.mul_l(g_coeff, r_s[:, None]), F.mul_l(h_coeff, s_s[:, None])
         )
-    )  # (64, ..., S) points
-    flat = PointArray(
-        *(jnp.moveaxis(c, 0, -3).reshape(lead + (64 * S, NLIMBS)) for c in sel)
-    )
-    target = _next_pow2(64 * S)
-    if target != 64 * S:
-        pad = ed.identity(lead + (target - 64 * S,))
-        flat = PointArray(*(jnp.concatenate([c, p], axis=-2) for c, p in zip(flat, pad)))
-    return tree_reduce(flat)
+        final_static = jnp.stack([a1_static, jnp.zeros_like(a1_static)], axis=1)
+        final_fixed = jnp.stack(
+            [
+                jnp.concatenate([d_mask, ry_ar[:, None]], axis=1),
+                jnp.concatenate([eta, rys[:, None]], axis=1),
+            ],
+            axis=1,
+        )
+        final_pts = ed.add(
+            fixed_msm_batched(final_static, gihi_tables),
+            fixed_msm_batched(final_fixed, pedersen_tables),
+        )
+        final_comp = rist.compress(final_pts)  # (B, 2, 16)
+        a1_comp = final_comp[:, 0]
+        b_comp = final_comp[:, 1]
 
+        validate_append(b"A1", a1_comp)
+        validate_append(b"B", b_comp)
+        # (The host consumed one more external-RNG block here for the
+        # challenge_final_e rebuild; the rebuilt RNG is never drawn from, and
+        # rebuilds operate on clones, so the kernel skips it.)
+        e_f = challenge(b"e")
+        e_f_sq = F.sqr_l(e_f)
 
-@jax.jit
-def _commit_a_bits(bits, gi, hi, alpha, g_tables):
-    """A = sum_i bit_i*gi_i - sum_{bit_i=0} hi_i + sum_k alpha_k*G_k.
+        r1 = F.add_l(r_s, F.mul_l(a0, e_f))
+        s1 = F.add_l(s_s, F.mul_l(b0, e_f))
+        d1 = F.add_l(
+            eta,
+            F.add_l(F.mul_l(d_mask, e_f[:, None]), F.mul_l(alpha, e_f_sq[:, None])),
+        )
 
-    The prover's static scalars ARE the bit decomposition (a_li in {0,1},
-    a_ri in {0,-1}, range_proof.rs:299-345), so the 2*mn-lane windowed MSM
-    collapses to two masked halving reductions; the alpha masks multiply the
-    FIXED masking bases through their digit tables — no doubling ladders
-    anywhere in the A commitment.
+        final_positions["pos"] = t.strobe.pos
+        final_positions["pos_begin"] = t.strobe.pos_begin
+        final_positions["cur_flags"] = t.strobe.cur_flags
 
-    bits: (B, mn) uint32; gi/hi: (mn,) points; alpha: (B, deg, 16);
-    g_tables: PedersenGens.device_base_tables().
-    """
-    from ..ops.msm import tree_reduce
+        lr_stack = (
+            jnp.stack([jnp.stack(li_comps), jnp.stack(ri_comps)])
+            if rounds
+            else jnp.zeros((2, 0, B, NLIMBS), jnp.uint32)
+        )
+        return (
+            a_comp,
+            lr_stack,  # (2, rounds, B, 16)
+            a1_comp,
+            b_comp,
+            r1,
+            s1,
+            d1,
+            t.strobe.state,
+            bad_identity,
+            bad_zero,
+            bad_draw,
+        )
 
-    B, mn = bits.shape
-    ones = bits == 1
-    gi_b = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in gi))
-    hi_b = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in hi))
-    sum_g = tree_reduce(ed.select(ones, gi_b, ed.identity((B, mn))))
-    sum_h = tree_reduce(ed.select(ones, ed.identity((B, mn)), hi_b))
-    acc = ed.add(sum_g, ed.neg(sum_h))
-    acc = ed.add(acc, _fixed_digit_sum(alpha, g_tables))
-    return rist.compress(acc)
+    return jax.jit(prove), final_positions
 
 
 def prove_batch_with_rng(
@@ -242,14 +430,13 @@ def prove_batch_with_rng(
     All statements must share generators, bit length, aggregation factor and
     extension degree, and either all or none carry a seed nonce; transcripts
     must be at identical sponge positions (fresh transcripts with the same
-    label qualify).  Proof bytes are identical to sequential
-    `RangeProof.prove_with_rng` calls with the same per-lane RNG streams.
+    label qualify).  Proof bytes AND final transcript states are identical
+    to sequential `RangeProof.prove_with_rng` calls with the same per-lane
+    RNG streams.
 
     Passing a 1-D `jax.sharding.Mesh` shards the proof-lane axis across the
-    mesh: every prover kernel is batch-parallel (per-lane MSMs, folds,
-    compressions), so XLA partitions them with NO cross-device collectives —
-    pure dp scale-out.  The host transcript work is shared (one numpy sponge
-    batch) and the per-round challenge sync is one 64*B-byte gather.
+    mesh: the fused kernel is batch-parallel end to end, so XLA partitions
+    it with NO cross-device collectives — pure dp scale-out.
     """
     from .range_proof import RangeProof
 
@@ -284,6 +471,11 @@ def prove_batch_with_rng(
         for opening, commitment in zip(witness.openings, statement.commitments):
             if not hr.point_equal(gens.pc_gens.commit(opening.v, opening.r), commitment):
                 raise InvalidArgument("Witness opening is invalid!")
+        for minimum_value, opening in zip(
+            statement.minimum_value_promises, witness.openings
+        ):
+            if minimum_value is not None and minimum_value > opening.v:
+                raise InvalidArgument("Minimum value is larger than value")
 
     # Batched transcript with witness bytes per lane
     witness_bytes = []
@@ -313,28 +505,102 @@ def prove_batch_with_rng(
         rng,
     )
 
-    # Bit decomposition (host ints are fine: B*mn small), then device limbs
+    # alpha masks (host scalars; nonces or lockstep RNG draws — these come
+    # from the post-init RNG, which depends only on statement + witness)
+    if seeded:
+        alpha0 = [
+            [nonce(s.seed_nonce, "alpha", None, k) for s in statements]
+            for k in range(extension_degree)
+        ]  # [k][lane]
+    else:
+        alpha0 = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
+
+    # Pre-draw the external RNG's 32-byte rebuild keys in the sequential
+    # prover's exact call order: one per challenges_y_z, one per round, one
+    # for challenge_final_e (unused in-kernel; consumed for stream parity).
+    ext_blocks = np.stack([rng.fill_bytes(B, 32) for _ in range(rounds + 2)])
+
+    # Bit decomposition (host ints are fine: B*mn small)
     a_li_bits = np.zeros((B, mn), dtype=np.uint32)
     for lane, (statement, witness) in enumerate(zip(statements, witnesses)):
         col = 0
         for minimum_value, opening in zip(statement.minimum_value_promises, witness.openings):
-            if minimum_value is not None:
-                if minimum_value > opening.v:
-                    raise InvalidArgument("Minimum value is larger than value")
-                offset_value = opening.v - minimum_value
-            else:
-                offset_value = opening.v
+            offset_value = opening.v - (minimum_value or 0)
             for i in range(bit_length):
                 a_li_bits[lane, col] = (offset_value >> i) & 1
                 col += 1
-    a_li = jnp.zeros((B, mn, NLIMBS), jnp.uint32).at[:, :, 0].set(a_li_bits)
-    minus_one = jnp.asarray(pack_ints([L - 1])[0])
-    a_ri = F.select(
-        jnp.asarray(a_li_bits == 1),
-        jnp.zeros((B, mn, NLIMBS), jnp.uint32),
-        jnp.broadcast_to(minus_one, (B, mn, NLIMBS)),
+
+    # Witness blinding factors for the in-kernel alpha z-term
+    r_blind = pack_ints(
+        [
+            witness.openings[j].r[k] if k < len(witness.openings[j].r) else 0
+            for witness in witnesses
+            for j in range(m)
+            for k in range(extension_degree)
+        ]
+    ).reshape(B, m, extension_degree, NLIMBS)
+
+    # Per-round nonces (seeded mode)
+    if seeded:
+
+        def _round_nonces(label: str) -> np.ndarray:
+            if rounds == 0:
+                return np.zeros((0, B, extension_degree, NLIMBS), np.uint32)
+            return pack_ints(
+                [
+                    nonce(s.seed_nonce, label, r, k)
+                    for r in range(rounds)
+                    for s in statements
+                    for k in range(extension_degree)
+                ]
+            ).reshape(rounds, B, extension_degree, NLIMBS)
+
+        d_l_in = _round_nonces("dL")
+        d_r_in = _round_nonces("dR")
+        d_mask_in = pack_ints(
+            [nonce(s.seed_nonce, "d", None, k) for s in statements for k in range(extension_degree)]
+        ).reshape(B, extension_degree, NLIMBS)
+        eta_in = pack_ints(
+            [nonce(s.seed_nonce, "eta", None, k) for s in statements for k in range(extension_degree)]
+        ).reshape(B, extension_degree, NLIMBS)
+    else:
+        d_l_in = np.zeros((rounds, B, extension_degree, NLIMBS), np.uint32)
+        d_r_in = d_l_in
+        d_mask_in = np.zeros((B, extension_degree, NLIMBS), np.uint32)
+        eta_in = d_mask_in
+
+    alpha0_dev = np.stack(
+        [pack_ints([v % L for v in alpha0[k]]) for k in range(extension_degree)], axis=1
+    )  # (B, deg, 16)
+
+    gihi_tables = gens.bp_gens.fixed_tables_sliced(2 * mn)
+    hg_tables = gens.pc_gens.device_base_tables()
+
+    fn, final_positions = _prover_fn(
+        m,
+        bit_length,
+        extension_degree,
+        seeded,
+        wb_arr.shape[1],
+        stacked.strobe.pos,
+        stacked.strobe.pos_begin,
+        stacked.strobe.cur_flags,
     )
 
+    args = (
+        jnp.asarray(stacked.strobe.state),
+        jnp.asarray(wb_arr),
+        jnp.asarray(ext_blocks[: rounds + 1]),
+        jnp.asarray(a_li_bits),
+        jnp.asarray(alpha0_dev),
+        jnp.asarray(r_blind),
+        gihi_tables,
+        hg_tables,
+        jnp.asarray(d_l_in),
+        jnp.asarray(d_r_in),
+        jnp.asarray(d_mask_in),
+        jnp.asarray(eta_in),
+    )
     if mesh is not None:
         if B % mesh.size != 0:
             raise InvalidArgument("Batch prove mesh needs B divisible by mesh size")
@@ -342,146 +608,101 @@ def prove_batch_with_rng(
         from jax.sharding import PartitionSpec as P
 
         dp = NamedSharding(mesh, P(mesh.axis_names[0]))
-        a_li = jax.device_put(a_li, dp)
-        a_ri = jax.device_put(a_ri, dp)
+        rep = NamedSharding(mesh, P())
 
-    # alpha masks (host scalars; nonces or lockstep RNG draws)
-    if seeded:
-        alpha = [
-            [nonce(s.seed_nonce, "alpha", None, k) for s in statements]
-            for k in range(extension_degree)
-        ]  # [k][lane]
-    else:
-        alpha = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
+        def shard(x, batch_axis):
+            spec = [None] * x.ndim
+            spec[batch_axis] = mesh.axis_names[0]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
-    # A commitment: bit-masked generator sums + fixed-base alpha masks
-    g_bases_dev, h_base_dev = gens.pc_gens.device_bases()
-    gi_host = gens.gi_base()[:mn]
-    hi_host = gens.hi_base()[:mn]
-    gi_dev = ed.from_host(gi_host)
-    hi_dev = ed.from_host(hi_host)
-    alpha_dev = jnp.stack([_limbs(alpha[k]) for k in range(extension_degree)], axis=1)  # (B,deg,16)
-    a_comp = _commit_a_bits(
-        jnp.asarray(a_li_bits), gi_dev, hi_dev, alpha_dev, gens.pc_gens.device_base_tables()
-    )
-    a_bytes = bytes_from_limbs(np.asarray(a_comp))
-
-    y_list, z_list = rpt.challenges_y_z(a_bytes)
-    y_inv_list = [pow(y, -1, L) for y in y_list]
-    y_dev, z_dev = _limbs(y_list), _limbs(z_list)
-    a_li, a_ri, y_powers, y_inv_powers = _prove_vectors(
-        a_li, a_ri, y_dev, _limbs(y_inv_list), z_dev, m=m, bit_length=bit_length
-    )
-
-    # alpha += z^{2(j+1)} * r_jk * y^{mn+1} (host ints, tiny)
-    for lane, (statement, witness) in enumerate(zip(statements, witnesses)):
-        z, y = z_list[lane], y_list[lane]
-        y_mn1 = pow(y, mn + 1, L)
-        z_even = 1
-        z_sq = z * z % L
-        for opening in witness.openings:
-            z_even = z_even * z_sq % L
-            for k, r_ in enumerate(opening.r):
-                alpha[k][lane] = (alpha[k][lane] + z_even * r_ % L * y_mn1) % L
-
-    # Generator vectors, broadcast per lane
-    gi = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in gi_dev))
-    hi = PointArray(*(jnp.broadcast_to(c[None], (B, mn, NLIMBS)) for c in hi_dev))
-
-    li_bytes: List[np.ndarray] = []
-    ri_bytes: List[np.ndarray] = []
-    n = mn
-    round_idx = 0
-    while n > 1:
-        n //= 2
-        y_n_inv = y_inv_powers[:, n]  # device-resident, no host sync
-
-        if seeded:
-            d_l = [[nonce(s.seed_nonce, "dL", round_idx, k) for s in statements] for k in range(extension_degree)]
-            d_r = [[nonce(s.seed_nonce, "dR", round_idx, k) for s in statements] for k in range(extension_degree)]
-        else:
-            d_l = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
-            d_r = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
-        round_idx += 1
-        d_l_dev = jnp.stack([_limbs(d_l[k]) for k in range(extension_degree)], axis=1)
-        d_r_dev = jnp.stack([_limbs(d_r[k]) for k in range(extension_degree)], axis=1)
-
-        l_comp, r_comp, a_lo_off, a_hi_off = _round_lr(
-            a_li, a_ri, gi, hi, y_powers, y_n_inv, d_l_dev, d_r_dev,
-            gens.pc_gens.device_base_tables(), half=n,
+        args = (
+            shard(args[0], 0),
+            shard(args[1], 0),
+            shard(args[2], 1),
+            shard(args[3], 0),
+            shard(args[4], 0),
+            shard(args[5], 0),
+            jax.device_put(args[6], rep),
+            jax.device_put(args[7], rep),
+            shard(args[8], 1) if rounds else jax.device_put(args[8], rep),
+            shard(args[9], 1) if rounds else jax.device_put(args[9], rep),
+            shard(args[10], 0),
+            shard(args[11], 0),
         )
-        # ONE device->host round trip per round (readback latency is a fixed
-        # cost on a tunneled TPU; two np.asarray calls would pay it twice)
-        l_np, r_np = jax.device_get((l_comp, r_comp))
-        li_bytes.append(bytes_from_limbs(l_np))
-        ri_bytes.append(bytes_from_limbs(r_np))
+        del dp
 
-        e_list = rpt.challenge_round_e(li_bytes[-1], ri_bytes[-1])
-        e_inv_list = [pow(e, -1, L) for e in e_list]
-        e_dev, e_inv_dev = _limbs(e_list), _limbs(e_inv_list)
-        a_li, a_ri, gi, hi = _round_fold(a_li, a_ri, gi, hi, a_hi_off, e_dev, e_inv_dev, y_n_inv)
+    (
+        a_comp,
+        lr_stack,
+        a1_comp,
+        b_comp,
+        r1,
+        s1,
+        d1,
+        final_state,
+        bad_identity,
+        bad_zero,
+        bad_draw,
+    ) = fn(*args)
 
-        for k in range(extension_degree):
-            for lane in range(B):
-                e, e_inv = e_list[lane], e_inv_list[lane]
-                alpha[k][lane] = (alpha[k][lane] + d_l[k][lane] * e % L * e + d_r[k][lane] * e_inv % L * e_inv) % L
-
-    # Final masks
-    r_list = rpt.rng().random_not_zero()
-    s_list = rpt.rng().random_not_zero()
-    if seeded:
-        d_mask = [[nonce(s.seed_nonce, "d", None, k) for s in statements] for k in range(extension_degree)]
-        eta = [[nonce(s.seed_nonce, "eta", None, k) for s in statements] for k in range(extension_degree)]
-    else:
-        d_mask = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
-        eta = [rpt.rng().random_not_zero() for _ in range(extension_degree)]
-
-    a_li0_np, a_ri0_np, y1_np = jax.device_get((a_li[:, 0], a_ri[:, 0], y_powers[:, 1]))
-    a_li_host = [int_from_limbs(row) for row in a_li0_np]
-    a_ri_host = [int_from_limbs(row) for row in a_ri0_np]
-    y1_host = [int_from_limbs(row) for row in y1_np]
-    ry_ar = _limbs(
-        [
-            (r_ * y1 % L * ar + s_ * y1 % L * al) % L
-            for r_, s_, y1, al, ar in zip(r_list, s_list, y1_host, a_li_host, a_ri_host)
-        ]
+    # ONE device->host round trip for the whole batch
+    (
+        a_np,
+        lr_np,
+        a1_np,
+        b_np,
+        r1_np,
+        s1_np,
+        d1_np,
+        state_np,
+        bad_id_np,
+        bad_zero_np,
+        bad_draw_np,
+    ) = jax.device_get(
+        (a_comp, lr_stack, a1_comp, b_comp, r1, s1, d1, final_state, bad_identity, bad_zero, bad_draw)
     )
-    rys = _limbs([r_ * y1 % L * s_ % L for r_, s_, y1 in zip(r_list, s_list, y1_host)])
-    gi0 = PointArray(*(c[:, 0] for c in gi))
-    hi0 = PointArray(*(c[:, 0] for c in hi))
-    d_mask_dev = jnp.stack([_limbs(d_mask[k]) for k in range(extension_degree)], axis=1)
-    eta_dev = jnp.stack([_limbs(eta[k]) for k in range(extension_degree)], axis=1)
-    a1_comp, b_comp = _final_points(
-        gi0, hi0, _limbs(r_list), _limbs(s_list), d_mask_dev, eta_dev,
-        ry_ar, rys, gens.pc_gens.device_base_tables(),
-    )
-    a1_np, b_np = jax.device_get((a1_comp, b_comp))
+
+    if bad_id_np.any():
+        raise VerificationFailed("Identity element cannot be added to the transcript")
+    if bad_zero_np.any():  # pragma: no cover - 2^-252
+        raise VerificationFailed("Transcript challenge cannot be zero")
+    if bad_draw_np.any():  # pragma: no cover - 2^-252
+        raise VerificationFailed(
+            "Batched transcript RNG drew a zero scalar; lanes cannot retry in "
+            "lockstep — re-run the batch with a fresh external RNG"
+        )
+
+    from ..ops.limbs import int_from_limbs
+
+    a_bytes = bytes_from_limbs(a_np)
     a1_bytes = bytes_from_limbs(a1_np)
     b_bytes = bytes_from_limbs(b_np)
-
-    e_list = rpt.challenge_final_e(a1_bytes, b_bytes)
+    li_bytes = [bytes_from_limbs(lr_np[0, r]) for r in range(rounds)]
+    ri_bytes = [bytes_from_limbs(lr_np[1, r]) for r in range(rounds)]
 
     proofs = []
     for lane in range(B):
-        e = e_list[lane]
-        e_sq = e * e % L
-        r1 = (r_list[lane] + a_li_host[lane] * e) % L
-        s1 = (s_list[lane] + a_ri_host[lane] * e) % L
-        d1 = [
-            (eta[k][lane] + d_mask[k][lane] * e + alpha[k][lane] * e_sq) % L
-            for k in range(extension_degree)
-        ]
         proofs.append(
             RangeProof(
                 a=a_bytes[lane].tobytes(),
                 a1=a1_bytes[lane].tobytes(),
                 b=b_bytes[lane].tobytes(),
-                r1=r1,
-                s1=s1,
-                d1=d1,
+                r1=int_from_limbs(r1_np[lane]),
+                s1=int_from_limbs(s1_np[lane]),
+                d1=[int_from_limbs(d1_np[lane, k]) for k in range(extension_degree)],
                 li=[lb[lane].tobytes() for lb in li_bytes],
                 ri=[rb[lane].tobytes() for rb in ri_bytes],
                 extension_degree=ExtensionDegree.from_int(extension_degree),
             )
         )
+
+    # Write the finished transcript state back into the caller's transcripts
+    # (the sequential prover mutates its transcript in place; parity).
+    for lane, transcript in enumerate(transcripts):
+        st = transcript.strobe
+        st.state = state_np[lane : lane + 1].copy()
+        st.pos = final_positions["pos"]
+        st.pos_begin = final_positions["pos_begin"]
+        st.cur_flags = final_positions["cur_flags"]
+
     return proofs

@@ -489,15 +489,32 @@ class RangeProof:
         fetch) interleaved across batches so each of the two device->host
         round trips — a fixed-latency cost on a tunneled TPU — hides under
         other batches' kernels.
+
+        Failure ordering: errors are raised for the LOWEST-indexed failing
+        batch even when a later batch's failure surfaces first (batch k+1's
+        seed fetch runs before batch k's verdict fetch by design), and no new
+        batches are dispatched once any failure is known.
         """
+        from ..errors import ProofError
+
         b_q: List = []  # (idx, stage) pending seed fetch -> kernel 2
         c_q: List = []  # (idx, stage) pending verdict fetch
         done: dict = {}
+        errors: dict = {}
         n = 0
+
+        def doomed(idx: int) -> bool:
+            return bool(errors) and min(errors) < idx
 
         def advance_b():
             idx, stage = b_q.pop(0)
-            step = stage()
+            if doomed(idx):  # an earlier batch already failed; abandon
+                return
+            try:
+                step = stage()
+            except ProofError as exc:
+                errors[idx] = exc
+                return
             if callable(step):
                 c_q.append((idx, step))
             else:
@@ -505,22 +522,34 @@ class RangeProof:
 
         def advance_c():
             idx, stage = c_q.pop(0)
-            done[idx] = stage()
+            if doomed(idx):
+                return
+            try:
+                done[idx] = stage()
+            except ProofError as exc:
+                errors[idx] = exc
 
         for transcripts, statements, proofs in batches:
-            if not statements or not proofs or not transcripts:
-                raise InvalidArgument("Range statements or proofs length empty")
-            if len(statements) != len(proofs):
-                raise InvalidArgument("Range statements and proofs length mismatch")
-            if len(transcripts) != len(statements):
-                raise InvalidArgument("Range statements and transcripts length mismatch")
-            stage = RangeProof._verify_device_dispatch(
-                transcripts[:MAX_RANGE_PROOF_BATCH_SIZE],
-                statements[:MAX_RANGE_PROOF_BATCH_SIZE],
-                proofs[:MAX_RANGE_PROOF_BATCH_SIZE],
-                action,
-                mesh,
-            )
+            if errors:
+                break  # abandon the rest of the stream
+            try:
+                if not statements or not proofs or not transcripts:
+                    raise InvalidArgument("Range statements or proofs length empty")
+                if len(statements) != len(proofs):
+                    raise InvalidArgument("Range statements and proofs length mismatch")
+                if len(transcripts) != len(statements):
+                    raise InvalidArgument("Range statements and transcripts length mismatch")
+                stage = RangeProof._verify_device_dispatch(
+                    transcripts[:MAX_RANGE_PROOF_BATCH_SIZE],
+                    statements[:MAX_RANGE_PROOF_BATCH_SIZE],
+                    proofs[:MAX_RANGE_PROOF_BATCH_SIZE],
+                    action,
+                    mesh,
+                )
+            except ProofError as exc:
+                errors[n] = exc
+                n += 1
+                break
             if c_q:
                 advance_c()
             if b_q:
@@ -533,6 +562,8 @@ class RangeProof:
                 advance_c()
         while c_q:
             advance_c()
+        if errors:
+            raise errors[min(errors)]
         return [done[i] for i in range(n)]
 
     @staticmethod
@@ -660,58 +691,60 @@ class RangeProof:
 
             return finish_group
 
-        gi_total = jnp.zeros((max_mn, _NLIMBS), jnp.uint32)
-        hi_total = jnp.zeros((max_mn, _NLIMBS), jnp.uint32)
-        g_base_total = jnp.zeros((extension_degree, _NLIMBS), jnp.uint32)
-        h_base_total = jnp.zeros((_NLIMBS,), jnp.uint32)
-        dyn_scalar_parts = []
-        dyn_point_parts = []
+        # Mixed-shape fused path: ONE `group_contrib` dispatch per shape
+        # group (scalar pass + decompression + dynamic assembly fused) and
+        # ONE closing `combine_groups_msm` dispatch; every validity flag and
+        # the verdict come back in a single device_get inside `finish` — no
+        # blocking work at dispatch time, so heterogeneous batches pipeline
+        # exactly like the single-shape fast path.
+        from .verifier_kernels import combine_groups_msm, group_contrib
+
+        gis, his, gbs, hbs = [], [], [], []
+        dyn_scalar_parts, dyn_point_parts = [], []
+        group_meta = []  # (indices, m, rounds, valid)
         for (m, rounds), indices in groups.items():
-            gi, hi, gb, hb, dyn_s, dyn_p = DeviceVerifier.group_contributions(
+            packed = DeviceVerifier.pack(
                 [statements[i] for i in indices],
                 [proofs[i] for i in indices],
                 [batch_challenges[i] for i in indices],
                 [weights[i] for i in indices],
-                bit_length,
-                extension_degree,
-                max_mn,
             )
-            gi_total = F.add_l(gi_total, gi)
-            hi_total = F.add_l(hi_total, hi)
-            g_base_total = F.add_l(g_base_total, gb)
-            h_base_total = F.add_l(h_base_total, hb)
+            gi, hi, gb, hb, dyn_s, dyn_p, valid = group_contrib(
+                *packed,
+                m=m,
+                bit_length=bit_length,
+                extension_degree=extension_degree,
+                max_mn=max_mn,
+            )
+            gis.append(gi)
+            his.append(hi)
+            gbs.append(gb)
+            hbs.append(hb)
             dyn_scalar_parts.append(dyn_s)
             dyn_point_parts.append(dyn_p)
+            group_meta.append((indices, m, rounds, valid))
 
-        # Static half: interleaved gi/hi scalars against the precomputed
-        # fixed-base tables (the Precomputable analog)
-        static_scalars = jnp.stack([gi_total, hi_total], axis=1).reshape(2 * max_mn, _NLIMBS)
-        tables = tables_
-
-        # Dynamic half: per-proof points + Pedersen bases, ladder MSM
-        dyn_scalars = jnp.concatenate(
-            dyn_scalar_parts + [g_base_total, h_base_total[None]], axis=0
+        ok = combine_groups_msm(
+            tuple(gis), tuple(his), tuple(gbs), tuple(hbs),
+            tuple(dyn_scalar_parts), tuple(dyn_point_parts),
+            tables_, g_base_pts, h_base_pt,
         )
-        from ..ops.edwards import PointArray as _PA
 
-        dyn_points = _PA(
-            *(
-                jnp.concatenate(
-                    [getattr(p, f) for p in dyn_point_parts]
-                    + [getattr(g_base_pts, f), getattr(h_base_pt, f)],
-                    axis=0,
-                )
-                for f in ("x", "y", "z", "t")
-            )
-        )
-        dyn_scalars, dyn_points = pad_msm_inputs(dyn_scalars, dyn_points)
+        def finish_mixed(ok=ok, masks=masks, group_meta=group_meta):
+            import jax
 
-        from .verifier_kernels import mixed_msm_is_identity
-
-        ok = mixed_msm_is_identity(static_scalars, tables, dyn_scalars, dyn_points)
-
-        def finish_mixed(ok=ok, masks=masks):
-            if not bool(ok):
+            ok_np, valids = jax.device_get((ok, [g[3] for g in group_meta]))
+            # Canonicality errors in the reference's PROOF order
+            # (range_proof.rs:856-866 iterates the batch in order)
+            by_index = {}
+            for (indices, m, rounds, _), valid_np in zip(group_meta, valids):
+                rows = _np.asarray(valid_np).reshape(len(indices), -1)
+                for pos, idx in enumerate(indices):
+                    by_index[idx] = (rows[pos], m, rounds)
+            for idx in sorted(by_index):
+                row, m, rounds = by_index[idx]
+                DeviceVerifier.raise_canonicality_row(row, m, rounds)
+            if not bool(ok_np):
                 raise VerificationFailed("Range proof batch not valid")
             return masks
 

@@ -371,6 +371,66 @@ def verify_group_bytes(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn")
+)
+def group_contrib(
+    y, z, round_es, e, weight, r1, s1, d1, min_values, comp_limbs,
+    *, m, bit_length, extension_degree, max_mn,
+):
+    """One shape group's ENTIRE contribution in one dispatch: scalar pass +
+    batched decompression + flattened dynamic scalars.  The mixed-shape
+    verify path runs one of these per group and feeds `combine_groups_msm`
+    — (#groups + 1) dispatches and ONE readback for a heterogeneous batch,
+    replacing the round-2 eager per-group pipeline."""
+    B = y.shape[0]
+    rounds = round_es.shape[1]
+    K = m + 3 + 2 * rounds
+    (gi, hi, gb, hb, commit_s, a1_s, b_s, a_s, li_s, ri_s) = scalar_pass(
+        y, z, round_es, e, weight, r1, s1, d1, min_values,
+        m=m, bit_length=bit_length, extension_degree=extension_degree, max_mn=max_mn,
+    )
+    points, valid = rist.decompress(comp_limbs)
+    dyn_scalars = jnp.concatenate(
+        [commit_s, a1_s[:, None], b_s[:, None], a_s[:, None], li_s, ri_s], axis=1
+    ).reshape(B * K, NLIMBS)
+    return gi, hi, gb, hb, dyn_scalars, points, valid
+
+
+@jax.jit
+def combine_groups_msm(
+    gis, his, gbs, hbs, dyn_scalar_parts, dyn_point_parts,
+    tables, g_base_pts, h_base_pt,
+):
+    """Closing dispatch of the mixed-shape path: sum the groups' static
+    scalar accumulators, concatenate their dynamic halves, and run the one
+    folded mixed MSM against the identity (range_proof.rs:1050-1062)."""
+    from functools import reduce
+
+    from ..ops.fixed_base import mixed_msm
+    from ..ops.msm import pad_msm_inputs
+
+    gi = reduce(F.add_l, gis)
+    hi = reduce(F.add_l, his)
+    gb = reduce(F.add_l, gbs)
+    hb = reduce(F.add_l, hbs)
+    max_mn = gi.shape[0]
+    static_scalars = jnp.stack([gi, hi], axis=1).reshape(2 * max_mn, NLIMBS)
+    dyn_scalars = jnp.concatenate(list(dyn_scalar_parts) + [gb, hb[None]], axis=0)
+    dyn_points = PointArray(
+        *(
+            jnp.concatenate(
+                [getattr(p, f) for p in dyn_point_parts]
+                + [getattr(g_base_pts, f), getattr(h_base_pt, f)],
+                axis=0,
+            )
+            for f in ("x", "y", "z", "t")
+        )
+    )
+    dyn_scalars, dyn_points = pad_msm_inputs(dyn_scalars, dyn_points)
+    return rist.is_identity(mixed_msm(static_scalars, tables, dyn_scalars, dyn_points))
+
+
 @jax.jit
 def final_msm_is_identity(scalars: jnp.ndarray, points: PointArray) -> jnp.ndarray:
     """One folded MSM, compared against the identity."""
@@ -457,64 +517,27 @@ class DeviceVerifier:
         though the packed layout is [commitments, a1, b, a, li, ri]."""
         if valid_np.all():
             return
-        from ..errors import InvalidArgument
-
         K = m + 3 + 2 * rounds
         per_proof = valid_np.reshape(-1, K)
         bad_proof = per_proof[~per_proof.all(axis=1)][0]
-        # reference check order within a proof -> packed indices
+        DeviceVerifier.raise_canonicality_row(bad_proof, m, rounds)
+
+    @staticmethod
+    def raise_canonicality_row(row: np.ndarray, m: int, rounds: int) -> None:
+        """One proof's decompression flags -> the reference's error, checked
+        in member order a, a1, b, li/ri, commitments."""
+        if row.all():
+            return
+        from ..errors import InvalidArgument
+
         for j, name in ((m + 2, "a"), (m, "a1"), (m + 1, "b")):
-            if not bad_proof[j]:
+            if not row[j]:
                 raise InvalidArgument(
                     f"Member '{name}' was not the canonical encoding of a point"
                 )
-        if not bad_proof[m + 3 :].all():
+        if not row[m + 3 :].all():
             raise InvalidArgument(
                 "An item in member 'L' was not the canonical encoding of a point"
             )
         raise InvalidArgument("A commitment was not the canonical encoding of a point")
 
-    @staticmethod
-    def group_contributions(
-        statements,
-        proofs,
-        challenges,  # list of (y, z, round_es, e) per proof
-        weights: List[int],
-        bit_length: int,
-        extension_degree: int,
-        max_mn: int,
-    ):
-        m = len(statements[0].commitments)
-        rounds = len(proofs[0].li)
-        B = len(proofs)
-
-        y, z, round_es, e, w, r1, s1, d1, min_values, comp = DeviceVerifier.pack(
-            statements, proofs, challenges, weights
-        )
-
-        (
-            gi_scalars,
-            hi_scalars,
-            g_base_scalars,
-            h_base_scalar,
-            commit_s,
-            a1_s,
-            b_s,
-            a_s,
-            li_s,
-            ri_s,
-        ) = scalar_pass(
-            y, z, round_es, e, w, r1, s1, d1, min_values,
-            m=m, bit_length=bit_length, extension_degree=extension_degree, max_mn=max_mn,
-        )
-
-        points, valid = decompress_batch(comp)
-        DeviceVerifier.raise_canonicality(np.asarray(valid), m, rounds)
-
-        # Matching dynamic scalars, flattened in the same per-proof order
-        K = m + 3 + 2 * rounds
-        dyn_scalars = jnp.concatenate(
-            [commit_s, a1_s[:, None], b_s[:, None], a_s[:, None], li_s, ri_s], axis=1
-        ).reshape(B * K, 16)
-
-        return (gi_scalars, hi_scalars, g_base_scalars, h_base_scalar, dyn_scalars, points)

@@ -87,6 +87,51 @@ def fixed_msm(scalars: jnp.ndarray, tables: PointArray) -> PointArray:
     return tree_reduce(flat)
 
 
+def fixed_msm_batched(scalars: jnp.ndarray, tables: PointArray) -> PointArray:
+    """sum_s scalars[..., s, :] * P_s over FIXED points, batched over any
+    leading axes — the workhorse of the fused prover (every round's L/R is a
+    fixed-base MSM over the ORIGINAL generators, range_proof.rs:409-495
+    recast; see models/prover_device.py).
+
+    scalars: (..., S, 16) canonical limbs; tables: build_tables coords
+    (64, 16, S', 16) with S' >= S (extra table lanes are sliced off).
+
+    The per-window table lookup runs as ONE one-hot f32 matmul on the MXU
+    (entries < 2^16 and exactly one one-hot term fires, so float32 HIGHEST
+    is exact — same trick as ops.msm.msm_kernel), then a halving tree
+    reduction sums the (64 x S) selected points per batch element.
+    """
+    import numpy as np
+
+    from .msm import _reduce_width, digits4_nd, tree_reduce
+
+    lead = scalars.shape[:-2]
+    S = scalars.shape[-2]
+    if tables.x.shape[2] != S:
+        tables = PointArray(*(c[:, :, :S] for c in tables))
+    flat_b = int(np.prod(lead)) if lead else 1
+    flat = scalars.reshape((flat_b, S, NLIMBS))
+    digits = digits4_nd(flat)  # (64, F, S), LSB window first
+    onehot = (
+        digits[..., None] == jnp.arange(N_DIGITS, dtype=jnp.int32)
+    ).astype(jnp.float32)  # (64, F, S, 16)
+    tabf = jnp.concatenate(tables, axis=-1).astype(jnp.float32)  # (64, 16, S, 64)
+    sel = jnp.einsum(
+        "wfsd,wdsc->wfsc", onehot, tabf, precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.uint32)  # (64, F, S, 64)
+    coords = [sel[..., k * NLIMBS : (k + 1) * NLIMBS] for k in range(4)]
+    pts = PointArray(
+        *(jnp.moveaxis(c, 0, 1).reshape((flat_b, N_WINDOWS * S, NLIMBS)) for c in coords)
+    )
+    total = N_WINDOWS * S
+    target = _reduce_width(total)
+    if target != total:
+        pad = ed.identity((flat_b, target - total))
+        pts = PointArray(*(jnp.concatenate([c, p], axis=-2) for c, p in zip(pts, pad)))
+    out = tree_reduce(pts)
+    return PointArray(*(c.reshape(lead + (NLIMBS,)) for c in out))
+
+
 @jax.jit
 def mixed_msm(
     static_scalars: jnp.ndarray,

@@ -1,9 +1,11 @@
 #!/bin/sh
 # CI analog (reference: .github/workflows/test.yml + lints.toml +
-# test_coverage.sh).  No lint/coverage packages exist in this environment, so
-# this runs the checks that are possible: byte-compilation of every module,
-# import of the public surface, collection of the full test suite, and the
-# test run itself (pass -k/-m through via $PYTEST_ARGS).
+# test_coverage.sh): byte-compilation of every module, import of the public
+# surface, the test run (split into two processes: the prover-compile tests
+# run in their own interpreter as defense-in-depth against XLA CPU compiler
+# crashes on accumulated process state), and a line-coverage floor gate
+# (PEP 669 stdlib coverage; scripts/coverage_floor.py).  Pass -k/-m through
+# via $PYTEST_ARGS.
 set -e
 cd "$(dirname "$0")/.."
 
@@ -33,5 +35,14 @@ if grep -rn "NotImplementedError" bulletproofs_plus_tpu --include="*.py"; then
 fi
 echo "no stubs"
 
-echo "== tests =="
-python -m pytest tests/ -q ${PYTEST_ARGS:-}
+echo "== tests (main) =="
+rm -f .coverage_report.json
+BPPT_COVERAGE=1 python -m pytest tests/ -q \
+  --ignore=tests/test_prover_batch.py --ignore=tests/test_prover_sharded.py \
+  ${PYTEST_ARGS:-}
+
+echo "== tests (prover compiles, fresh process) =="
+BPPT_COVERAGE=1 python -m pytest tests/test_prover_batch.py tests/test_prover_sharded.py -q ${PYTEST_ARGS:-}
+
+echo "== coverage floors =="
+python scripts/coverage_floor.py .coverage_report.json

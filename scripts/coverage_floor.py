@@ -1,0 +1,52 @@
+"""Coverage floor gate (reference: test_coverage.sh's fail-under) — reads the
+`.coverage_report.json` written by the BPPT_COVERAGE=1 test run and fails if
+any watched module drops below its floor.
+
+Floors are set a few points under the measured round-3 numbers so real
+regressions (a new untested API, a dead branch of the verify pipeline) fail
+CI while refactors have headroom.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+FLOORS = {
+    # the two APIs every recorded number comes from
+    "bulletproofs_plus_tpu/models/range_proof.py": 75,
+    "bulletproofs_plus_tpu/models/prover_device.py": 85,
+    "bulletproofs_plus_tpu/models/verifier_kernels.py": 85,
+    "bulletproofs_plus_tpu/models/replay_device.py": 85,
+    # package-wide sanity
+    "TOTAL": 75,
+}
+
+
+def main(path: str = ".coverage_report.json") -> int:
+    with open(path) as f:
+        report = json.load(f)
+    total_cov = sum(m["covered"] for m in report.values())
+    total_exe = sum(m["executable"] for m in report.values())
+    report = dict(report)
+    report["TOTAL"] = {
+        "covered": total_cov,
+        "executable": total_exe,
+        "pct": round(100.0 * total_cov / max(1, total_exe), 1),
+    }
+    failed = False
+    for mod, floor in FLOORS.items():
+        got = report.get(mod)
+        if got is None:
+            print(f"FAIL {mod}: missing from report")
+            failed = True
+            continue
+        status = "ok  " if got["pct"] >= floor else "FAIL"
+        if got["pct"] < floor:
+            failed = True
+        print(f"{status} {mod}: {got['pct']}% (floor {floor}%)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

@@ -36,3 +36,20 @@ jax.config.update("jax_platforms", "cpu")
 os.makedirs("/root/repo/.jax_cache_cpu", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Optional stdlib line coverage (PEP 669) — scripts/check.sh sets
+# BPPT_COVERAGE=1 and gates on scripts/coverage_floor.py afterwards.
+_COV = os.environ.get("BPPT_COVERAGE") == "1"
+_PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bulletproofs_plus_tpu")
+
+if _COV:
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(_PKG), "scripts"))
+    import pycov
+
+    pycov.start(_PKG)
+
+    def pytest_sessionfinish(session, exitstatus):
+        out = os.environ.get("BPPT_COVERAGE_OUT", os.path.join(os.path.dirname(_PKG), ".coverage_report.json"))
+        pycov.stop_and_report(_PKG, out)
