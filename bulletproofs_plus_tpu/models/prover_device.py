@@ -631,6 +631,8 @@ def prove_batch_with_rng(
         )
         del dp
 
+    from ..utils.deepstack import deep_stack_call
+
     (
         a_comp,
         lr_stack,
@@ -643,7 +645,7 @@ def prove_batch_with_rng(
         bad_identity,
         bad_zero,
         bad_draw,
-    ) = fn(*args)
+    ) = deep_stack_call(fn, *args)
 
     # ONE device->host round trip for the whole batch
     (

@@ -21,6 +21,7 @@ Reduction strategies (chosen for TPU, not ported):
 from __future__ import annotations
 
 import functools
+import os as _os
 from functools import partial
 
 import jax
@@ -149,17 +150,49 @@ def _conv_antidiag(a: jnp.ndarray) -> jnp.ndarray:
     return out.astype(jnp.uint32)
 
 
+def _conv_antidiag_int8(a: jnp.ndarray) -> jnp.ndarray:
+    """_conv_antidiag via TWO int8 MXU matmuls (byte planes of the < 2^16
+    entries) with exact int32 accumulation — int8 runs the systolic array at
+    ~12x the f32-HIGHEST rate, so even with the extra pass and the
+    plane-recombine this can beat the f32 path (measured per platform; see
+    _conv_pair_planes)."""
+    na, nb = a.shape[-2], a.shape[-1]
+    t = jnp.asarray(_antidiag_matrix(na, nb)).astype(jnp.int8)
+    flat = a.reshape(a.shape[:-2] + (na * nb,))
+    # 7-bit planes, not bytes: 128..255 would go NEGATIVE as int8 and the
+    # two's-complement sums would be off by 256 per high lane; 0..127 planes
+    # keep every lane non-negative so the int32 accumulation is exact.
+    p0 = (flat & jnp.uint32(0x7F)).astype(jnp.int8)
+    p1 = ((flat >> jnp.uint32(7)) & jnp.uint32(0x7F)).astype(jnp.int8)
+    p2 = ((flat >> jnp.uint32(14)) & jnp.uint32(0x3)).astype(jnp.int8)
+    out = (
+        jnp.dot(p0, t, preferred_element_type=jnp.int32)
+        + (jnp.dot(p1, t, preferred_element_type=jnp.int32) << 7)
+        + (jnp.dot(p2, t, preferred_element_type=jnp.int32) << 14)
+    )
+    return out.astype(jnp.uint32)
+
+
+# Conv backend: "f32" (default, measured fastest round 2) or "int8"
+# (7-bit-plane MXU passes) — set BPPT_CONV before import to A/B on device
+# (scripts/msm_experiments.py drives this).
+_CONV_IMPL = _os.environ.get("BPPT_CONV", "f32")
+
+
 def _conv_pair_planes(prod: jnp.ndarray):
     """Anti-diagonal sums of a (..., na, nb) uint32 product grid, returning
     the (lo16-part, hi16-part) coefficient vectors, each (..., na+nb-1).
 
-    Two separate f32 HIGHEST matmuls — measured fastest on v5e.  Rejected
-    variants (measured, do not re-try without a device profile): a single
-    stacked matmul over both halves (~35% slower), and bf16 byte planes
-    (4 single passes instead of 2x6 HIGHEST passes, ~50% slower — the
-    u32<->bf16 conversions and plane recombines cost more than the saved
-    MXU passes).
+    Default: two separate f32 HIGHEST matmuls — measured fastest on v5e in
+    round 2.  Rejected variants (measured, do not re-try without a device
+    profile): a single stacked matmul over both halves (~35% slower), and
+    bf16 byte planes (4 single passes instead of 2x6 HIGHEST passes, ~50%
+    slower — the u32<->bf16 conversions and plane recombines cost more than
+    the saved MXU passes).  BPPT_CONV=int8 selects the 7-bit-plane int8
+    path (6 single passes at the int8 rate) for measurement.
     """
+    if _CONV_IMPL == "int8":
+        return _conv_antidiag_int8(prod & _MASKV), _conv_antidiag_int8(prod >> _U16)
     lo = _conv_antidiag(prod & _MASKV)  # (..., na+nb-1), entries < 2^20
     hi = _conv_antidiag(prod >> _U16)
     return lo, hi
