@@ -45,7 +45,7 @@ from ..ops import field as F
 from ..ops import host_ristretto as hr
 from ..ops import ristretto as rist
 from ..ops.edwards import PointArray
-from ..ops.fixed_base import fixed_msm_batched
+from ..ops.fixed_base import fixed_msm_batched, fixed_msm_grouped
 from ..ops.limbs import NLIMBS, bytes_from_limbs, pack_ints
 from ..ops.msm import tree_reduce
 from ..utils.hashing import nonce
@@ -97,6 +97,7 @@ def _prover_fn(
     pos: int,
     pos_begin: int,
     cur_flags: int,
+    use_pallas: bool = True,
 ):
     """Build (and cache) the fused prover kernel for one proof shape and
     initial transcript position.
@@ -251,30 +252,35 @@ def _prover_fn(
 
             # L/R as fixed-base MSMs over the ORIGINAL generators: substitute
             # gi'[p] = sum g_coeff[i] gi[i] into range_proof.rs:445-458.
-            zero_s = jnp.zeros((B, mn, NLIMBS), jnp.uint32)
-            l_gi = F.select(
+            # Each interleaved lane contributes to EXACTLY ONE of L and R
+            # (g_i -> L iff pos >= n, h_i -> L iff pos < n), so one permuted
+            # grouped MSM of width 2mn computes both — half the point-add and
+            # select work of two full-width MSMs with zero-padded scalars.
+            g_lane = F.select(
                 hi_mask[None],
                 F.mul_l(F.mul_l(g_coeff, jnp.roll(av, n, axis=1)), y_n_inv[:, None]),
-                zero_s,
-            )
-            l_hi = F.select(
-                hi_mask[None], zero_s, F.mul_l(h_coeff, jnp.roll(bv, -n, axis=1))
-            )
-            r_gi = F.select(
-                hi_mask[None],
-                zero_s,
                 F.mul_l(F.mul_l(g_coeff, jnp.roll(av, -n, axis=1)), y_n[:, None]),
+            )  # hi lanes: L's g coefficient; lo lanes: R's
+            h_lane = F.select(
+                hi_mask[None],
+                F.mul_l(h_coeff, jnp.roll(bv, n, axis=1)),
+                F.mul_l(h_coeff, jnp.roll(bv, -n, axis=1)),
+            )  # hi lanes: R's h coefficient; lo lanes: L's
+            combined = jnp.stack([g_lane, h_lane], axis=2).reshape(B, 2 * mn, NLIMBS)
+            lanes = np.arange(mn)
+            hi_np = pos_arr >= n
+            perm = np.concatenate(
+                [
+                    2 * lanes[hi_np],       # g lanes feeding L
+                    2 * lanes[~hi_np] + 1,  # h lanes feeding L
+                    2 * lanes[~hi_np],      # g lanes feeding R
+                    2 * lanes[hi_np] + 1,   # h lanes feeding R
+                ]
             )
-            r_hi = F.select(
-                hi_mask[None], F.mul_l(h_coeff, jnp.roll(bv, n, axis=1)), zero_s
+            tab_perm = PointArray(*(c[:, :, perm] for c in gihi_tables))
+            lr_static_pts = fixed_msm_grouped(
+                combined[:, perm], tab_perm, 2, allow_pallas=use_pallas
             )
-
-            def interleave(g, h):
-                return jnp.stack([g, h], axis=2).reshape(B, 2 * mn, NLIMBS)
-
-            lr_static = jnp.stack(
-                [interleave(l_gi, l_hi), interleave(r_gi, r_hi)], axis=1
-            )  # (B, 2, 2mn, 16)
             lr_fixed = jnp.stack(
                 [
                     jnp.concatenate([d_l, c_l[:, None]], axis=1),
@@ -283,8 +289,7 @@ def _prover_fn(
                 axis=1,
             )  # (B, 2, deg+1, 16)
             lr_pts = ed.add(
-                fixed_msm_batched(lr_static, gihi_tables),
-                fixed_msm_batched(lr_fixed, pedersen_tables),
+                lr_static_pts, fixed_msm_batched(lr_fixed, pedersen_tables)
             )
             lr_comp = rist.compress(lr_pts)  # (B, 2, 16)
             li_comps.append(lr_comp[:, 0])
@@ -356,12 +361,12 @@ def _prover_fn(
             return jnp.stack([g, h], axis=2).reshape(B, 2 * mn, NLIMBS)
 
         # A1 = r*gi'[0] + s*hi'[0] + ry_ar*H + sum d_mask*G; gi'[0] spans ALL
-        # original lanes after the last fold.  B rides the same batched MSM
-        # with zero static scalars.
+        # original lanes after the last fold.  B has NO static component, so
+        # it costs only the (deg+1)-lane Pedersen MSM — the all-zero static
+        # row of the round-2 design burned a full 64*2mn identity adds.
         a1_static = interleave(
             F.mul_l(g_coeff, r_s[:, None]), F.mul_l(h_coeff, s_s[:, None])
         )
-        final_static = jnp.stack([a1_static, jnp.zeros_like(a1_static)], axis=1)
         final_fixed = jnp.stack(
             [
                 jnp.concatenate([d_mask, ry_ar[:, None]], axis=1),
@@ -369,9 +374,13 @@ def _prover_fn(
             ],
             axis=1,
         )
-        final_pts = ed.add(
-            fixed_msm_batched(final_static, gihi_tables),
-            fixed_msm_batched(final_fixed, pedersen_tables),
+        ped_pts = fixed_msm_batched(final_fixed, pedersen_tables)  # (B, 2)
+        a1_pt = ed.add(
+            fixed_msm_batched(a1_static, gihi_tables, allow_pallas=use_pallas),
+            PointArray(*(c[:, 0] for c in ped_pts)),
+        )
+        final_pts = PointArray(
+            *(jnp.stack([a, c[:, 1]], axis=1) for a, c in zip(a1_pt, ped_pts))
         )
         final_comp = rist.compress(final_pts)  # (B, 2, 16)
         a1_comp = final_comp[:, 0]
@@ -585,6 +594,9 @@ def prove_batch_with_rng(
         stacked.strobe.pos,
         stacked.strobe.pos_begin,
         stacked.strobe.cur_flags,
+        # GSPMD auto-partitioning cannot split a pallas custom call: the
+        # sharded path keeps the XLA MSMs (each shard is batch-parallel).
+        use_pallas=mesh is None,
     )
 
     args = (

@@ -36,6 +36,7 @@ from ..ops import ristretto as rist
 from ..ops.edwards import PointArray
 from ..ops.limbs import NLIMBS, limbs_from_bytes, limbs_from_int, pack_ints
 from ..ops.msm import msm_kernel, pad_msm_inputs
+from ..utils.deepstack import deep_jit
 
 L = hr.L
 
@@ -303,6 +304,7 @@ def _verify_group_core(
     return ok, valid
 
 
+@deep_jit
 @functools.partial(
     jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn")
 )
@@ -333,6 +335,7 @@ def _u8_to_limbs(data: jnp.ndarray) -> jnp.ndarray:
     return lo | (hi << jnp.uint32(8))
 
 
+@deep_jit
 @functools.partial(
     jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn")
 )
@@ -371,6 +374,7 @@ def verify_group_bytes(
     )
 
 
+@deep_jit
 @functools.partial(
     jax.jit, static_argnames=("m", "bit_length", "extension_degree", "max_mn")
 )
@@ -397,6 +401,7 @@ def group_contrib(
     return gi, hi, gb, hb, dyn_scalars, points, valid
 
 
+@deep_jit
 @jax.jit
 def combine_groups_msm(
     gis, his, gbs, hbs, dyn_scalar_parts, dyn_point_parts,
@@ -431,12 +436,14 @@ def combine_groups_msm(
     return rist.is_identity(mixed_msm(static_scalars, tables, dyn_scalars, dyn_points))
 
 
+@deep_jit
 @jax.jit
 def final_msm_is_identity(scalars: jnp.ndarray, points: PointArray) -> jnp.ndarray:
     """One folded MSM, compared against the identity."""
     return rist.is_identity(msm_kernel(scalars, points))
 
 
+@deep_jit
 @jax.jit
 def mixed_msm_is_identity(
     static_scalars: jnp.ndarray,

@@ -23,6 +23,7 @@ call is compile-dominated anyway.
 
 from __future__ import annotations
 
+import functools
 import threading
 
 STACK_BYTES = 1 << 30  # 1 GiB reserved (virtual; pages fault in lazily)
@@ -48,3 +49,23 @@ def deep_stack_call(fn, *args, **kwargs):
     if "exc" in result:
         raise result["exc"]
     return result["out"]
+
+
+def deep_jit(fn):
+    """Route every call of an (already-jitted) top-level kernel through the
+    1 GiB-stack thread.
+
+    Apply ONLY to kernels invoked eagerly (never inside another trace:
+    tracer contexts are thread-local, so calling a wrapped fn with tracers
+    would escape its trace).  Dispatch of an already-compiled executable is
+    async and ~0.1 ms of thread cost per call — negligible next to the
+    kernels this guards (fused verifier/prover graphs whose first-compile
+    otherwise overflows the main thread's stack; see module docstring).
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        return deep_stack_call(fn, *args, **kwargs)
+
+    wrapper.__wrapped__ = fn
+    return wrapper
