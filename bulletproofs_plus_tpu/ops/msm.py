@@ -172,6 +172,16 @@ def digits4(scalars: jnp.ndarray) -> jnp.ndarray:
     return digits4_nd(scalars)
 
 
+def _use_pallas_dyn(n: int) -> bool:
+    """Route to the fused Mosaic kernel (ops/pallas_msm.py) on TPU for MSMs
+    wide enough to amortize its launch; BPPT_PALLAS=0 force-disables."""
+    import os
+
+    if os.environ.get("BPPT_PALLAS", "1") != "1":
+        return False
+    return jax.default_backend() == "tpu" and n >= 512
+
+
 @jax.jit
 def msm_kernel(scalars: jnp.ndarray, points: PointArray) -> PointArray:
     """sum_i scalars[i] * points[i]; lane count per _reduce_width.
@@ -183,7 +193,14 @@ def msm_kernel(scalars: jnp.ndarray, points: PointArray) -> PointArray:
     ladder collapse onto a single point, cutting per-lane point ops from
     ~336 (256 dbl + 80 add) to ~80 adds — the doubling ladder no longer
     scales with the MSM size.  Fixed shape, secret-independent control flow.
+
+    On TPU, wide MSMs dispatch to the pallas kernel (ops/pallas_msm.py):
+    identical math, but the select + lane reduction stay in VMEM.
     """
+    if _use_pallas_dyn(scalars.shape[0]):
+        from .pallas_msm import msm_kernel_pallas
+
+        return msm_kernel_pallas(scalars, points)
     zero = ed._identity_like(points)
 
     def tab_step(acc, _):

@@ -1,0 +1,67 @@
+"""Pallas MSM kernels vs the host Pippenger oracle (interpret mode on CPU).
+
+One tiny shape per kernel: interpret-mode pallas is slow, and the kernel
+bodies are already unit-tested piecewise by test_pfield.py; these check the
+grid/block plumbing and digit bookkeeping end to end.  On real TPU hardware
+the same code runs compiled (scripts/profile_tpu.py + bench.py measure it).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from bulletproofs_plus_tpu.ops import edwards as ed  # noqa: E402
+from bulletproofs_plus_tpu.ops import host_ristretto as hr  # noqa: E402
+from bulletproofs_plus_tpu.ops import pallas_msm as pm  # noqa: E402
+from bulletproofs_plus_tpu.ops.fixed_base import build_tables, transpose_tables  # noqa: E402
+from bulletproofs_plus_tpu.ops.limbs import pack_ints  # noqa: E402
+from bulletproofs_plus_tpu.ops.msm import host_msm  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(pm, "_INTERPRET", True)
+
+
+def test_dynamic_msm_matches_host():
+    n = 8
+    scalars = [(i * 0x9E3779B97F4A7C15 + 3) % hr.L for i in range(n)]
+    pts = [hr.point_mul(2 * i + 1, hr.BASEPOINT) for i in range(n)]
+    sc = jnp.asarray(pack_ints(scalars))
+    pa = ed.from_host(pts)
+    got = pm.msm_kernel_pallas(sc, pa, lc=8)
+    want = host_msm(scalars, pts)
+    assert hr.point_equal(ed.to_host(got), want)
+
+
+def test_fixed_msm_batched_matches_host():
+    S, B = 6, 3  # padded to sc=8 inside
+    base_pts = [hr.point_mul(5 * i + 2, hr.BASEPOINT) for i in range(S)]
+    tables = build_tables(ed.from_host(base_pts))
+    tabs_t = transpose_tables(tables)
+    rs = np.random.RandomState(11)
+    scal = [[int.from_bytes(rs.bytes(32), "little") % hr.L for _ in range(S)] for _ in range(B)]
+    sc = jnp.asarray(pack_ints([v for row in scal for v in row])).reshape(B, S, 16)
+    got = pm.fixed_msm_batched_pallas(sc, tabs_t)
+    for b in range(B):
+        want = host_msm(scal[b], base_pts)
+        assert hr.point_equal(ed.to_host(pm.PointS(*(c[b] for c in got))), want)
+
+
+def test_fixed_msm_grouped_matches_host():
+    S, B, G = 8, 2, 2
+    base_pts = [hr.point_mul(9 * i + 4, hr.BASEPOINT) for i in range(S)]
+    tables = build_tables(ed.from_host(base_pts))
+    tabs_t = transpose_tables(tables)
+    rs = np.random.RandomState(5)
+    scal = [[int.from_bytes(rs.bytes(32), "little") % hr.L for _ in range(S)] for _ in range(B)]
+    sc = jnp.asarray(pack_ints([v for row in scal for v in row])).reshape(B, S, 16)
+    got = pm.fixed_msm_batched_pallas(sc, tabs_t, groups=G)
+    half = S // G
+    for b in range(B):
+        for g in range(G):
+            want = host_msm(scal[b][g * half : (g + 1) * half], base_pts[g * half : (g + 1) * half])
+            point = pm.PointS(*(np.asarray(c)[b, g] for c in got))
+            assert hr.point_equal(ed.to_host(ed.PointArray(*point)), want)
