@@ -645,6 +645,38 @@ def prove_batch_with_rng(
 
     from ..utils.deepstack import deep_stack_call
 
+    try:
+        outs = deep_stack_call(fn, *args)
+    except Exception:
+        # The pallas MSM smoke gate (ops/pallas_msm.mosaic_available) runs at
+        # tiny shapes; a Mosaic resource failure at THIS shape surfaces here,
+        # inside the fused prover compile.  Rebuild without pallas — the XLA
+        # MSMs always compile — rather than failing the prove call.
+        if mesh is not None:
+            raise
+        import warnings
+
+        from ..ops import pallas_msm
+
+        if not pallas_msm.mosaic_available():
+            raise  # pallas was never in the graph; a real compile error
+        warnings.warn(
+            "fused prover compile failed with pallas MSMs; retrying with "
+            "the XLA MSM kernels for this shape"
+        )
+        fn, final_positions = _prover_fn(
+            m,
+            bit_length,
+            extension_degree,
+            seeded,
+            wb_arr.shape[1],
+            stacked.strobe.pos,
+            stacked.strobe.pos_begin,
+            stacked.strobe.cur_flags,
+            use_pallas=False,
+        )
+        outs = deep_stack_call(fn, *args)
+
     (
         a_comp,
         lr_stack,
@@ -657,7 +689,7 @@ def prove_batch_with_rng(
         bad_identity,
         bad_zero,
         bad_draw,
-    ) = deep_stack_call(fn, *args)
+    ) = outs
 
     # ONE device->host round trip for the whole batch
     (

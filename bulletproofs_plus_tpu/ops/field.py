@@ -358,12 +358,51 @@ def _pow_bits(x: jnp.ndarray, exp: int, mul, sqr, one_limbs: np.ndarray) -> jnp.
 _ONE = limbs_from_int(1)
 
 
+def _sqr_n(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """x^(2^n) as a fori_loop of squarings (one compiled body)."""
+    return jax.lax.fori_loop(0, n, lambda _, a: sqr25519(a), x)
+
+
+def _chain_250(x: jnp.ndarray):
+    """The standard curve25519 addition chain: returns (x^(2^250 - 1), x^11).
+
+    Shared prefix of both special exponents (inversion p-2 = 2^255 - 21 and
+    the sqrt exponent (p-5)/8 = 2^252 - 3): ~250 squarings + 11 multiplies,
+    vs ~2 ops per exponent bit for generic square-and-multiply — halves the
+    sequential depth of every batched decompress/compress.
+    """
+    z2 = sqr25519(x)
+    z9 = mul25519(x, _sqr_n(z2, 2))
+    z11 = mul25519(z2, z9)
+    z_5_0 = mul25519(z9, sqr25519(z11))  # 2^5 - 2^0
+    z_10_0 = mul25519(_sqr_n(z_5_0, 5), z_5_0)
+    z_20_0 = mul25519(_sqr_n(z_10_0, 10), z_10_0)
+    z_40_0 = mul25519(_sqr_n(z_20_0, 20), z_20_0)
+    z_50_0 = mul25519(_sqr_n(z_40_0, 10), z_10_0)
+    z_100_0 = mul25519(_sqr_n(z_50_0, 50), z_50_0)
+    z_200_0 = mul25519(_sqr_n(z_100_0, 100), z_100_0)
+    z_250_0 = mul25519(_sqr_n(z_200_0, 50), z_50_0)
+    return z_250_0, z11
+
+
+def pow_p58(x: jnp.ndarray) -> jnp.ndarray:
+    """x^((p-5)/8) = x^(2^252 - 3) (the sqrt_ratio exponent, RFC 9496)."""
+    z_250_0, _ = _chain_250(x)
+    return mul25519(_sqr_n(z_250_0, 2), x)
+
+
 def pow25519(x: jnp.ndarray, exp: int) -> jnp.ndarray:
+    if exp == (P - 5) // 8:
+        return pow_p58(x)
+    if exp == P - 2:
+        return inv25519(x)
     return _pow_bits(x, exp, mul25519, sqr25519, _ONE)
 
 
 def inv25519(x: jnp.ndarray) -> jnp.ndarray:
-    return pow25519(x, P - 2)
+    """x^(p-2) = x^(2^255 - 21) via the addition chain (inv(0) = 0)."""
+    z_250_0, z11 = _chain_250(x)
+    return mul25519(_sqr_n(z_250_0, 5), z11)
 
 
 # ---------------------------------------------------------------------------

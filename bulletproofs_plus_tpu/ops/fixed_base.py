@@ -103,7 +103,11 @@ def _use_pallas_fixed(s: int, f: int) -> bool:
 
     if os.environ.get("BPPT_PALLAS", "1") != "1":
         return False
-    return _jax.default_backend() == "tpu" and s >= 64 and f >= 8
+    if _jax.default_backend() != "tpu" or s < 64 or f < 8:
+        return False
+    from .pallas_msm import mosaic_available
+
+    return mosaic_available()
 
 
 def fixed_msm_batched(

@@ -179,7 +179,11 @@ def _use_pallas_dyn(n: int) -> bool:
 
     if os.environ.get("BPPT_PALLAS", "1") != "1":
         return False
-    return jax.default_backend() == "tpu" and n >= 512
+    if jax.default_backend() != "tpu" or n < 512:
+        return False
+    from .pallas_msm import mosaic_available
+
+    return mosaic_available()
 
 
 @jax.jit

@@ -46,6 +46,91 @@ def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() != "tpu"
 
 
+_MOSAIC_OK: bool | None = None
+# Dynamic-MSM lane-tile width; the smoke gate steps it down (128 -> 64) if
+# Mosaic runs out of VMEM at the default before disabling pallas outright.
+_LC = 128
+
+
+def mosaic_available() -> bool:
+    """First-use smoke gate for the real Mosaic compiler.
+
+    Compiles + runs both fused kernels on a tiny MSM and checks the value
+    against a host-computed expectation.  If Mosaic rejects anything (or the
+    result is wrong), warn once and permanently route this process to the
+    pure-XLA kernels instead of crashing the caller — the XLA path is always
+    correct, just slower.  A VMEM/resource failure at the default lane tile
+    retries one size down first.  Interpret mode (CPU tests) skips the gate;
+    the test suite exercises those kernels directly."""
+    global _MOSAIC_OK, _LC
+    if _MOSAIC_OK is None:
+        if _interpret():
+            _MOSAIC_OK = True
+        else:
+            import warnings
+
+            for lc in (128, 64):
+                try:
+                    ok = bool(_mosaic_smoke(lc))
+                except Exception as e:  # Mosaic compile/launch rejection
+                    warnings.warn(
+                        f"pallas MSM smoke failed at lc={lc} "
+                        f"({type(e).__name__}: {e})"
+                    )
+                    ok = False
+                if ok:
+                    _LC = lc
+                    _MOSAIC_OK = True
+                    break
+            else:
+                warnings.warn(
+                    "pallas MSM smoke failed or returned a wrong value; "
+                    "falling back to the XLA MSM kernels"
+                )
+                _MOSAIC_OK = False
+    return _MOSAIC_OK
+
+
+def _mosaic_smoke(lc: int = 128) -> bool:
+    """One tiny dynamic MSM + one tiny fixed-base MSM through the Mosaic
+    kernels, value-checked against host big-int arithmetic."""
+    from . import edwards as ed
+    from . import host_ristretto as hr
+    from . import ristretto as rist
+    from .fixed_base import build_tables, transpose_tables
+    from .limbs import pack_ints
+
+    # Dynamic: sum_{i<512} (i+1) * B == (512*513/2) * B
+    n = 512
+    sc = jnp.asarray(pack_ints([i + 1 for i in range(n)]))
+    base = ed.from_host([hr.BASEPOINT])
+    pts = ed.PointArray(*(jnp.broadcast_to(c, (n, 16)) for c in base))
+    got = msm_kernel_pallas(sc, pts, lc=lc)
+    want = ed.from_host([hr.point_mul(n * (n + 1) // 2, hr.BASEPOINT)])
+    want = ed.PointArray(*(c[0] for c in want))
+    ok_dyn = bool(rist.point_equal(got, want))
+
+    # Fixed-base: P_s = (s+1)*B, scalars[f, s] = f + s + 1, F=8, S=64
+    s_lanes, f_rows = 64, 8
+    host_pts = [hr.point_mul(s + 1, hr.BASEPOINT) for s in range(s_lanes)]
+    tables_t = transpose_tables(build_tables(ed.from_host(host_pts)))
+    scal = jnp.asarray(
+        pack_ints([f + s + 1 for f in range(f_rows) for s in range(s_lanes)])
+    ).reshape(f_rows, s_lanes, NLIMBS)
+    got_f = fixed_msm_batched_pallas(scal, tables_t)
+    want_f = ed.from_host(
+        [
+            hr.point_mul(
+                sum((f + s + 1) * (s + 1) for s in range(s_lanes)) % hr.L,
+                hr.BASEPOINT,
+            )
+            for f in range(f_rows)
+        ]
+    )
+    ok_fixed = bool(jnp.all(rist.point_equal(got_f, want_f)))
+    return ok_dyn and ok_fixed
+
+
 def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
@@ -104,13 +189,72 @@ def dyn_msm_partials(coords_t: tuple, digits: jnp.ndarray, lc: int = 128):
     )(*coords_t, digits)
 
 
-def msm_kernel_pallas(scalars: jnp.ndarray, points, lc: int = 128):
+def _brev6(j: int) -> int:
+    return int("".join(reversed(f"{j:06b}")), 2)
+
+
+_BREV6 = np.array([_brev6(j) for j in range(N_WINDOWS)])
+
+
+def _finish_kernel(x_ref, y_ref, z_ref, t_ref, *out_refs):
+    """Cross-tile reduce + window fold, one program, all in VMEM.
+
+    Inputs: (tiles, 16, 64) partials whose window axis is BIT-REVERSED
+    (window j at lane brev6(j)), so the Horner recombination
+    sum_j 16^j W_j folds by contiguous halves: at level l the upper half
+    carries an extra 16^(2^l) factor — 4*2^l doublings of a vector that
+    also halves in width each level (252 doublings + 6 additions total,
+    vs 256 width-1 doublings + 64 additions for sequential Horner).
+    """
+    coords = (x_ref[:], y_ref[:], z_ref[:], t_ref[:])  # (tiles, 16, 64)
+    tiles = coords[0].shape[0]
+    acc = PointS(*(c[0] for c in coords))  # (16, 64)
+    for t in range(1, tiles):
+        acc = pf.padd(acc, PointS(*(c[t] for c in coords)))
+
+    w = N_WINDOWS
+    lvl = 0
+    while w > 1:
+        w //= 2
+        lo = PointS(*(c[:, :w] for c in acc))
+        hi = PointS(*(c[:, w : 2 * w] for c in acc))
+
+        def dbl_body(_, p):
+            return pf.pdbl(p)
+
+        hi = jax.lax.fori_loop(0, 4 << lvl, dbl_body, hi)
+        acc = pf.padd(lo, hi)
+        lvl += 1
+    for ref, c in zip(out_refs, acc):
+        ref[:] = c  # (16, 1)
+
+
+@jax.jit
+def msm_finish(parts: tuple):
+    """4 x (tiles, 16, 64) bit-reversed window partials -> one point."""
+    out_shape = [jax.ShapeDtypeStruct((NLIMBS, 1), jnp.uint32)] * 4
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _finish_kernel,
+        out_shape=out_shape,
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 4,
+        interpret=_interpret(),
+    )(*parts)
+    from .edwards import PointArray
+
+    return PointArray(*(c[:, 0] for c in outs))
+
+
+def msm_kernel_pallas(scalars: jnp.ndarray, points, lc: int | None = None):
     """Drop-in msm_kernel (ops/msm.py) replacement on TPU: same inputs
     ((n, 16) canonical limbs + PointArray), same result point."""
     from . import edwards as ed
     from .edwards import PointArray
-    from .msm import digits4, tree_reduce
+    from .msm import digits4
 
+    if lc is None:
+        lc = _LC
     n = scalars.shape[0]
     target = -(-n // lc) * lc
     if target != n:
@@ -119,28 +263,10 @@ def msm_kernel_pallas(scalars: jnp.ndarray, points, lc: int = 128):
         idp = ed.identity((pad,))
         points = PointArray(*(jnp.concatenate([c, i], axis=0) for c, i in zip(points, idp)))
     digits = digits4(scalars)  # (64, n) LSB first
+    digits = digits[_BREV6]  # window j at row brev6(j) (see _finish_kernel)
     coords_t = tuple(jnp.transpose(c, (1, 0)) for c in points)
     parts = dyn_msm_partials(coords_t, digits.astype(jnp.int32), lc=lc)
-
-    # (tiles, 16, 64) -> (64, tiles, 16); reduce tiles; Horner MSB-first.
-    tiles = parts[0].shape[0]
-    pa = PointArray(*(jnp.transpose(c, (2, 0, 1)) for c in parts))
-    t2 = _next_pow2(tiles)
-    if t2 != tiles:
-        idp = ed.identity((N_WINDOWS, t2 - tiles))
-        pa = PointArray(*(jnp.concatenate([c, i], axis=1) for c, i in zip(pa, idp)))
-    wsums = tree_reduce(pa)  # (64,) points, LSB window first
-    wsums = PointArray(*(jnp.flip(c, axis=0) for c in wsums))  # MSB first
-
-    acc0 = ed.identity(())  # Horner stays in XLA (for now; see module doc)
-
-    def horner(acc, w):
-        for _ in range(4):
-            acc = ed.double(acc)
-        return ed.add(acc, w), None
-
-    acc, _ = jax.lax.scan(horner, acc0, wsums)
-    return acc
+    return msm_finish(parts)
 
 
 # ---------------------------------------------------------------------------

@@ -25,8 +25,8 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setattr(pm, "_INTERPRET", True)
 
 
-def test_dynamic_msm_matches_host():
-    n = 8
+@pytest.mark.parametrize("n", [8, 16])  # 16 -> 2 lane tiles: covers the
+def test_dynamic_msm_matches_host(n):  # cross-tile reduce in msm_finish
     scalars = [(i * 0x9E3779B97F4A7C15 + 3) % hr.L for i in range(n)]
     pts = [hr.point_mul(2 * i + 1, hr.BASEPOINT) for i in range(n)]
     sc = jnp.asarray(pack_ints(scalars))
