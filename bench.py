@@ -40,6 +40,38 @@ def _emit(metric, value, unit, **extra):
     print(json.dumps(line), flush=True)
 
 
+def _probe_backend(timeout_s: float) -> dict:
+    """Initialize the JAX backend in a THROWAWAY subprocess with a hard
+    deadline.  A wedged TPU tunnel makes `jax.devices()` hang forever in
+    every process (observed round 3); probing in a child process lets the
+    bench fail fast with a structured JSON error instead of a stack trace
+    (or an rc=124 driver timeout)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import json, jax\n"
+        "ds = jax.devices()\n"
+        "print(json.dumps({'platform': jax.default_backend(), 'n': len(ds)}))\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": f"backend init timed out after {timeout_s:.0f}s (wedged tunnel?)"}
+    if out.returncode != 0:
+        tail = (out.stderr or out.stdout).strip().splitlines()[-1:]
+        return {"ok": False, "error": f"backend init failed: {' '.join(tail)[:300]}"}
+    try:
+        info = json.loads(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return {"ok": False, "error": "backend probe produced no JSON"}
+    info["ok"] = True
+    return info
+
+
 def main() -> None:
     import resource
 
@@ -50,11 +82,29 @@ def main() -> None:
         _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
         resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 
+    # Fail fast on a dead/wedged TPU tunnel: a structured zero-value headline
+    # (exit 0) is a recordable artifact; a hang or stack trace is not.
+    probe = _probe_backend(float(os.environ.get("BPP_BENCH_PROBE_TIMEOUT", "120")))
+    if not probe.get("ok"):
+        print(
+            json.dumps(
+                {
+                    "metric": "batch_verify_64bit_proofs_per_sec",
+                    "value": 0.0,
+                    "unit": "proofs/s",
+                    "vs_baseline": 0.0,
+                    "error": probe.get("error", "backend unavailable"),
+                }
+            ),
+            flush=True,
+        )
+        return
+
     import jax
 
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from bulletproofs_plus_tpu.utils.envcache import enable_compile_cache
+
+    enable_compile_cache(cpu=jax.default_backend() == "cpu")
 
     import jax.numpy as jnp
     import numpy as np
@@ -128,6 +178,18 @@ def main() -> None:
             }
         ),
         flush=True,
+    )
+
+    # ---- pallas observability (round-3 verdict: a silent Mosaic fallback must
+    # not masquerade as "pallas is no faster") -----------------------------------
+    from bulletproofs_plus_tpu.ops.pallas_msm import pallas_status
+
+    st = pallas_status()
+    _emit(
+        "pallas_active",
+        1.0 if (st["mosaic_ok"] and not st["interpret"] and st["env_enabled"]) else 0.0,
+        "bool",
+        **{k: v for k, v in st.items()},
     )
 
     # ---- secondary: single-batch latency --------------------------------------
@@ -244,6 +306,11 @@ def main() -> None:
         lat.sort()
         _emit("prove_latency_p50_ms", lat[len(lat) // 2] * 1e3, "ms/proof", batch=PB)
         _emit("prove_throughput_proofs_per_sec", 1.0 / lat[len(lat) // 2], "proofs/s", batch=PB)
+
+    # Final pallas status: records any per-shape fallbacks the prover took.
+    st = pallas_status()
+    if st["shape_fallbacks"] or st["off_reason"]:
+        _emit("pallas_final_status", 0.0, "bool", **{k: v for k, v in st.items()})
 
 
 if __name__ == "__main__":

@@ -664,6 +664,9 @@ def prove_batch_with_rng(
             "fused prover compile failed with pallas MSMs; retrying with "
             "the XLA MSM kernels for this shape"
         )
+        pallas_msm.note_fallback(
+            f"fused prover compile (B={B}, m={m}, n={bit_length})"
+        )
         fn, final_positions = _prover_fn(
             m,
             bit_length,

@@ -60,6 +60,33 @@ def _inv(x: int) -> int:
     return pow(x, -1, L)
 
 
+def _pallas_guard(fn, *args, **kwargs):
+    """Run an eagerly-dispatched verify kernel; if its first compile fails
+    while the pallas MSM path is active, permanently fall back to the
+    always-correct XLA kernels and retry once (mirrors the prover's retry in
+    prover_device.prove_batch_with_rng — round-3 advisor finding: a Mosaic
+    resource failure at a real verify shape must not raise out of
+    verify_batch).  ProofErrors (the protocol's own failures) pass through."""
+    from ..errors import ProofError
+    from ..ops import pallas_msm
+
+    try:
+        return fn(*args, **kwargs)
+    except ProofError:
+        raise
+    except Exception as exc:
+        import jax
+
+        if jax.default_backend() != "tpu" or not pallas_msm.runtime_ok():
+            raise  # pallas was not in play; a genuine failure
+        import warnings
+
+        reason = f"verify kernel failure: {type(exc).__name__}: {exc}"
+        warnings.warn(f"pallas MSM disabled after {reason}; retrying on XLA")
+        pallas_msm.disable_runtime(reason)
+        return fn(*args, **kwargs)
+
+
 def _decompress_or(name: str, data: bytes) -> hr.Point:
     p = hr.decompress(data)
     if p is None:
@@ -672,7 +699,8 @@ class RangeProof:
                     *shard_packed(packed, mesh), tables_, g_base_pts, h_base_pt
                 )
             else:
-                ok, valid = verify_group_full(
+                ok, valid = _pallas_guard(
+                    verify_group_full,
                     *packed,
                     tables_,
                     g_base_pts,
@@ -709,7 +737,8 @@ class RangeProof:
                 [batch_challenges[i] for i in indices],
                 [weights[i] for i in indices],
             )
-            gi, hi, gb, hb, dyn_s, dyn_p, valid = group_contrib(
+            gi, hi, gb, hb, dyn_s, dyn_p, valid = _pallas_guard(
+                group_contrib,
                 *packed,
                 m=m,
                 bit_length=bit_length,
@@ -724,7 +753,8 @@ class RangeProof:
             dyn_point_parts.append(dyn_p)
             group_meta.append((indices, m, rounds, valid))
 
-        ok = combine_groups_msm(
+        ok = _pallas_guard(
+            combine_groups_msm,
             tuple(gis), tuple(his), tuple(gbs), tuple(hbs),
             tuple(dyn_scalar_parts), tuple(dyn_point_parts),
             tables_, g_base_pts, h_base_pt,
@@ -831,7 +861,8 @@ class RangeProof:
 
             tables_ = max_statement.generators.bp_gens.fixed_tables_sliced(2 * max_mn)
             g_base_pts, h_base_pt = gens.pc_gens.device_bases()
-            ok, valid = verify_group_bytes(
+            ok, valid = _pallas_guard(
+                verify_group_bytes,
                 y, z, es, e,
                 jnp.asarray(pack_ints(weights)),
                 buf,

@@ -50,6 +50,52 @@ _MOSAIC_OK: bool | None = None
 # Dynamic-MSM lane-tile width; the smoke gate steps it down (128 -> 64) if
 # Mosaic runs out of VMEM at the default before disabling pallas outright.
 _LC = 128
+# Why pallas is off, if it is (smoke-gate failure or a runtime disable after
+# a production-shape kernel failure).  Surfaced by pallas_status() so
+# bench.py can record whether pallas was actually active — a silent XLA
+# fallback otherwise masquerades as "pallas is no faster" (round-3 verdict).
+_OFF_REASON: str | None = None
+
+
+_FALLBACKS: list = []  # per-shape retries that kept pallas enabled elsewhere
+
+
+def note_fallback(reason: str) -> None:
+    """Record a per-shape XLA fallback (pallas stays enabled for other
+    shapes); surfaced by pallas_status()."""
+    _FALLBACKS.append(reason)
+
+
+def disable_runtime(reason: str) -> None:
+    """Permanently route this process to the XLA kernels (e.g. after a
+    Mosaic resource failure at a real verify/prove shape — the retry seam
+    in models/range_proof.py and models/prover_device.py)."""
+    global _MOSAIC_OK, _OFF_REASON
+    _MOSAIC_OK = False
+    if _OFF_REASON is None:
+        _OFF_REASON = reason
+
+
+def runtime_ok() -> bool:
+    """True while pallas dispatch is (still) allowed in this process."""
+    import os
+
+    return _MOSAIC_OK is not False and os.environ.get("BPPT_PALLAS", "1") == "1"
+
+
+def pallas_status() -> dict:
+    """One-line status for bench.py's `pallas_active` metric."""
+    import os
+
+    return {
+        "backend": jax.default_backend(),
+        "interpret": _interpret(),
+        "mosaic_ok": _MOSAIC_OK,
+        "lane_tile": _LC,
+        "env_enabled": os.environ.get("BPPT_PALLAS", "1") == "1",
+        "off_reason": _OFF_REASON,
+        "shape_fallbacks": list(_FALLBACKS),
+    }
 
 
 def mosaic_available() -> bool:
@@ -62,21 +108,22 @@ def mosaic_available() -> bool:
     correct, just slower.  A VMEM/resource failure at the default lane tile
     retries one size down first.  Interpret mode (CPU tests) skips the gate;
     the test suite exercises those kernels directly."""
-    global _MOSAIC_OK, _LC
+    global _MOSAIC_OK, _LC, _OFF_REASON
     if _MOSAIC_OK is None:
         if _interpret():
             _MOSAIC_OK = True
         else:
             import warnings
 
+            fail = ""
             for lc in (128, 64):
                 try:
                     ok = bool(_mosaic_smoke(lc))
+                    if not ok:
+                        fail = f"wrong value at lc={lc}"
                 except Exception as e:  # Mosaic compile/launch rejection
-                    warnings.warn(
-                        f"pallas MSM smoke failed at lc={lc} "
-                        f"({type(e).__name__}: {e})"
-                    )
+                    fail = f"smoke failed at lc={lc}: {type(e).__name__}: {e}"
+                    warnings.warn(f"pallas MSM {fail}")
                     ok = False
                 if ok:
                     _LC = lc
@@ -88,6 +135,7 @@ def mosaic_available() -> bool:
                     "falling back to the XLA MSM kernels"
                 )
                 _MOSAIC_OK = False
+                _OFF_REASON = fail or "smoke gate failed"
     return _MOSAIC_OK
 
 

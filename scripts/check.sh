@@ -35,8 +35,19 @@ if grep -rn "NotImplementedError" bulletproofs_plus_tpu --include="*.py"; then
 fi
 echo "no stubs"
 
+# Fast tier (`check.sh fast`): golden-vector + host-oracle tests only
+# (-m "not compile"), no coverage gate — validates a kernel/protocol change
+# end-to-end in minutes.  The full tier (default) remains the pre-snapshot
+# gate.
+if [ "${1:-}" = "fast" ]; then
+  echo "== tests (fast tier: -m 'not compile') =="
+  python -m pytest tests/ -q -m "not compile" ${PYTEST_ARGS:-}
+  echo "fast tier ok"
+  exit 0
+fi
+
 echo "== tests (main) =="
-rm -f .coverage_report.json
+rm -f .coverage_report.json .coverage_report.json.*.shard
 BPPT_COVERAGE=1 python -m pytest tests/ -q \
   --ignore=tests/test_prover_batch.py --ignore=tests/test_prover_sharded.py \
   ${PYTEST_ARGS:-}

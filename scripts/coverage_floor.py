@@ -9,7 +9,9 @@ CI while refactors have headroom.
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
 
 FLOORS = {
@@ -23,9 +25,49 @@ FLOORS = {
 }
 
 
+def merge_shards(path: str) -> dict:
+    """Union the per-process shard reports (`<path>.<pid>.shard`, written by
+    tests/conftest.py — one per xdist worker/controller) plus `path` itself
+    if present.  Coverage is the union of covered lines: a line is missing
+    only if every shard that saw the module missed it."""
+    report: dict = {}
+    sources = sorted(glob.glob(path + ".*.shard"))
+    if os.path.exists(path):
+        sources.insert(0, path)
+    for src in sources:
+        try:
+            with open(src) as f:
+                shard = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for mod, got in shard.items():
+            prev = got if mod not in report else None
+            if prev is None:
+                prev = report[mod]
+                if prev["executable"] != got["executable"]:
+                    # module changed between shards; keep the better-covered
+                    prev = max(prev, got, key=lambda g: g["pct"])
+                else:
+                    missing = sorted(set(prev["missing"]) & set(got["missing"]))
+                    cov = got["executable"] - len(missing)
+                    prev = {
+                        "covered": cov,
+                        "executable": got["executable"],
+                        "pct": round(100.0 * cov / max(1, got["executable"]), 1),
+                        "missing": missing,
+                    }
+            report[mod] = prev
+    if report:
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+    return report
+
+
 def main(path: str = ".coverage_report.json") -> int:
-    with open(path) as f:
-        report = json.load(f)
+    report = merge_shards(path)
+    if not report:
+        print(f"FAIL: no coverage report/shards at {path}")
+        return 1
     total_cov = sum(m["covered"] for m in report.values())
     total_exe = sum(m["executable"] for m in report.values())
     report = dict(report)

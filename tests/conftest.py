@@ -29,13 +29,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic kernels compile slowly on
-# XLA CPU; caching makes repeated test runs cheap.  NOTE: a separate dir from
-# the TPU runs' cache — the tunnel's host has a newer CPU, and its AOT CPU
-# artifacts SIGILL-crash this machine if loaded (observed: avx512/amx feature
-# mismatch).
-os.makedirs("/root/repo/.jax_cache_cpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# XLA CPU; caching makes repeated test runs cheap.  The CPU cache dir is
+# keyed by this host's CPU features (utils/envcache.py) — foreign AOT
+# artifacts SIGILL this machine / poison dryruns (rounds 1 and 3).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bulletproofs_plus_tpu.utils.envcache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(cpu=True)
 
 # Optional stdlib line coverage (PEP 669) — scripts/check.sh sets
 # BPPT_COVERAGE=1 and gates on scripts/coverage_floor.py afterwards.
@@ -52,4 +54,8 @@ if _COV:
 
     def pytest_sessionfinish(session, exitstatus):
         out = os.environ.get("BPPT_COVERAGE_OUT", os.path.join(os.path.dirname(_PKG), ".coverage_report.json"))
-        pycov.stop_and_report(_PKG, out)
+        # One shard per process: pytest-xdist workers and the controller all
+        # run sessionfinish concurrently, so a shared read-modify-write of
+        # the report file loses updates (round-3 advisor finding).
+        # scripts/coverage_floor.py merges the shards.
+        pycov.stop_and_report(_PKG, f"{out}.{os.getpid()}.shard")

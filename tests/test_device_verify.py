@@ -5,6 +5,11 @@ Kept to one tiny proof shape per kernel: XLA CPU compiles of the ladder
 scans dominate runtime, and one shape exercises the full code path.
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import hashlib
 
 import jax

@@ -1,5 +1,10 @@
 """Field kernel tests: GF(2^255-19) and GF(l) limb arithmetic vs python ints."""
 
+
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import random
 
 import numpy as np

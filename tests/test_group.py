@@ -1,5 +1,9 @@
 """Edwards/Ristretto device-kernel tests against the host oracle."""
 
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import os
 import random
 

@@ -1,6 +1,10 @@
 """Traced (in-jit) STROBE/Merlin vs the numpy host implementation —
 bit-exactness over a representative op sequence (the replay's op mix)."""
 
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,6 +5,11 @@ rendezvous on real hardware (initialize_distributed is a documented no-op at
 process_count == 1, exercised for idempotence).
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import hashlib
 
 import jax

@@ -6,6 +6,11 @@ grid/block plumbing and digit bookkeeping end to end.  On real TPU hardware
 the same code runs compiled (scripts/profile_tpu.py + bench.py measure it).
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import numpy as np
 import pytest
 

@@ -5,6 +5,11 @@ mathematics, transposed layout); these run under plain jit on CPU — no
 pallas involved — so any mismatch is a pfield math bug, not a Mosaic one.
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import numpy as np
 import pytest
 

@@ -10,6 +10,11 @@ One tiny proof shape (4-bit) keeps XLA CPU compiles shared with the other
 device tests.
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import hashlib
 
 import pytest

@@ -5,6 +5,11 @@ The batch prover must produce byte-identical proofs to sequential
 reconstructs SeededRng's per-lane domain separation).
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import hashlib
 
 import numpy as np

@@ -4,6 +4,11 @@ The prover's device kernels are batch-parallel, so sharding the lane axis
 over a mesh must be a pure partitioning with no effect on results.
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.compile  # heavy XLA CPU compiles; excluded from the fast tier
+
 import hashlib
 
 import jax
