@@ -643,10 +643,18 @@ def prove_batch_with_rng(
         )
         del dp
 
+    import contextlib
+
+    from ..ops.pallas_pow import no_pallas_pow
     from ..utils.deepstack import deep_stack_call
 
+    # GSPMD cannot auto-partition pallas custom calls: meshed traces must
+    # not pick up the pow-chain kernel either (the MSMs are already off via
+    # use_pallas above).
+    pow_gate = no_pallas_pow() if mesh is not None else contextlib.nullcontext()
     try:
-        outs = deep_stack_call(fn, *args)
+        with pow_gate:
+            outs = deep_stack_call(fn, *args)
     except Exception:
         # The pallas MSM smoke gate (ops/pallas_msm.mosaic_available) runs at
         # tiny shapes; a Mosaic resource failure at THIS shape surfaces here,
@@ -678,7 +686,8 @@ def prove_batch_with_rng(
             stacked.strobe.cur_flags,
             use_pallas=False,
         )
-        outs = deep_stack_call(fn, *args)
+        with no_pallas_pow():
+            outs = deep_stack_call(fn, *args)
 
     (
         a_comp,

@@ -386,7 +386,16 @@ def _chain_250(x: jnp.ndarray):
 
 
 def pow_p58(x: jnp.ndarray) -> jnp.ndarray:
-    """x^((p-5)/8) = x^(2^252 - 3) (the sqrt_ratio exponent, RFC 9496)."""
+    """x^((p-5)/8) = x^(2^252 - 3) (the sqrt_ratio exponent, RFC 9496).
+
+    On TPU, wide batches dispatch to the VMEM-resident pallas chain
+    (ops/pallas_pow.py) — same addition chain, two HBM touches instead of
+    one per chain op."""
+    from .pallas_pow import maybe_pow_p58_pallas
+
+    out = maybe_pow_p58_pallas(x)
+    if out is not None:
+        return out
     z_250_0, _ = _chain_250(x)
     return mul25519(_sqr_n(z_250_0, 2), x)
 

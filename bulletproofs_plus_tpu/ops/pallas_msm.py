@@ -176,7 +176,16 @@ def _mosaic_smoke(lc: int = 128) -> bool:
         ]
     )
     ok_fixed = bool(jnp.all(rist.point_equal(got_f, want_f)))
-    return ok_dyn and ok_fixed
+
+    # Pow chain (ops/pallas_pow.py): x^((p-5)/8) for x = 2..130 vs host ints
+    from .limbs import unpack_ints
+    from .pallas_pow import pow_p58_pallas
+
+    xs = pack_ints([i + 2 for i in range(128)])
+    got_p = unpack_ints(np.asarray(pow_p58_pallas(jnp.asarray(xs))))
+    want_p = [pow(i + 2, (hr.P - 5) // 8, hr.P) for i in range(128)]
+    ok_pow = [g % hr.P for g in got_p] == want_p  # pfield is not canonicalizing
+    return ok_dyn and ok_fixed and ok_pow
 
 
 def _next_pow2(n: int) -> int:

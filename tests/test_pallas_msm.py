@@ -70,3 +70,30 @@ def test_fixed_msm_grouped_matches_host():
             want = host_msm(scal[b][g * half : (g + 1) * half], base_pts[g * half : (g + 1) * half])
             point = pm.PointS(*(np.asarray(c)[b, g] for c in got))
             assert hr.point_equal(ed.to_host(ed.PointArray(*point)), want)
+
+
+def test_pow_p58_pallas_matches_host():
+    """VMEM pow-chain kernel (ops/pallas_pow.py) vs python pow; includes the
+    lane-padding path (130 lanes -> 256) and edge values 0, 1, p-1."""
+    from bulletproofs_plus_tpu.ops.limbs import unpack_ints
+    from bulletproofs_plus_tpu.ops.pallas_pow import pow_p58_pallas
+
+    rs = np.random.RandomState(23)
+    vals = [0, 1, hr.P - 1, 2] + [
+        int.from_bytes(rs.bytes(32), "little") % hr.P for _ in range(126)
+    ]
+    got = unpack_ints(np.asarray(pow_p58_pallas(jnp.asarray(pack_ints(vals)))))
+    want = [pow(v, (hr.P - 5) // 8, hr.P) for v in vals]
+    assert [g % hr.P for g in got] == want  # pfield limbs are not canonicalized
+
+
+def test_pow_p58_pallas_2d_shape():
+    """Leading-axes flattening: (3, 2, 16) inputs round-trip the reshape."""
+    from bulletproofs_plus_tpu.ops.limbs import unpack_ints
+    from bulletproofs_plus_tpu.ops.pallas_pow import pow_p58_pallas
+
+    vals = [7 * i + 3 for i in range(6)]
+    x = jnp.asarray(pack_ints(vals)).reshape(3, 2, 16)
+    got = unpack_ints(np.asarray(pow_p58_pallas(x)).reshape(6, 16))
+    want = [pow(v, (hr.P - 5) // 8, hr.P) for v in vals]
+    assert [g % hr.P for g in got] == want

@@ -45,6 +45,29 @@ def test_fuzz_roundtrip_canonicality(seed):
     assert parsed > 0
 
 
+def test_fuzz_random_bytes_arm():
+    """Seeded random-bytes arm, 10k inputs (round-3 verdict ask #8): raw
+    SHAKE output with NO structural biasing, matching the libfuzzer target's
+    coverage style (fuzz/fuzz_targets/proofs.rs:10-15) — every input either
+    raises ProofError or round-trips byte-exactly; no other exception may
+    escape from_bytes."""
+    rng_lengths = _stream(b"fuzz-lens", 2 * 10_000)
+    parsed = 0
+    for trial in range(10_000):
+        length = (rng_lengths[2 * trial] | (rng_lengths[2 * trial + 1] << 8)) % 1400
+        data = _stream(b"fuzz-raw-%d" % trial, max(length, 1))[:length]
+        try:
+            proof = RangeProof.from_bytes(data)
+        except ProofError:
+            continue
+        parsed += 1
+        assert proof.to_bytes() == data
+    # Unbiased random bytes parse rarely (the degree byte + canonical scalar
+    # checks reject most); the biased arm above guarantees non-vacuity, this
+    # arm guarantees exception discipline at scale.
+    assert parsed >= 0
+
+
 def test_structured_roundtrip_and_pickle():
     from bulletproofs_plus_tpu import ExtensionDegree
 
