@@ -87,8 +87,7 @@ def _batch_sum_l(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return F.barrett_reduce(F.carry_prop(raw, 32))
 
 
-@functools.lru_cache(maxsize=None)
-def _prover_fn(
+def _prover_fn_core(
     m: int,
     bit_length: int,
     deg: int,
@@ -99,10 +98,10 @@ def _prover_fn(
     cur_flags: int,
     use_pallas: bool = True,
 ):
-    """Build (and cache) the fused prover kernel for one proof shape and
-    initial transcript position.
+    """Build the RAW (unjitted) fused prover for one proof shape and initial
+    transcript position.
 
-    Returns (jitted_fn, final_positions_cell); the cell is filled with the
+    Returns (prove_fn, final_positions_cell); the cell is filled with the
     transcript's final (pos, pos_begin, cur_flags) during tracing (the op
     sequence is static, so positions are trace-time constants) — used to
     write the finished transcript state back into the caller's transcripts.
@@ -424,7 +423,76 @@ def _prover_fn(
             bad_draw,
         )
 
+    return prove, final_positions
+
+
+@functools.lru_cache(maxsize=None)
+def _prover_fn(
+    m: int,
+    bit_length: int,
+    deg: int,
+    seeded: bool,
+    witness_len: int,
+    pos: int,
+    pos_begin: int,
+    cur_flags: int,
+    use_pallas: bool = True,
+):
+    """Cached single-device jit of the fused prover (see _prover_fn_core)."""
+    prove, final_positions = _prover_fn_core(
+        m, bit_length, deg, seeded, witness_len, pos, pos_begin, cur_flags,
+        use_pallas=use_pallas,
+    )
     return jax.jit(prove), final_positions
+
+
+@functools.lru_cache(maxsize=None)
+def _prover_fn_shmap(
+    m: int,
+    bit_length: int,
+    deg: int,
+    seeded: bool,
+    witness_len: int,
+    pos: int,
+    pos_begin: int,
+    cur_flags: int,
+    mesh,
+    use_pallas: bool = True,
+):
+    """Cached shard_map jit of the fused prover over a 1-D mesh.
+
+    The kernel is batch-parallel end to end, so every per-lane array shards
+    on its batch axis and the generator tables replicate — zero collectives.
+    Unlike GSPMD auto-partitioning (which cannot split pallas custom calls,
+    forcing the round-3 meshed prover onto the slow XLA MSMs), shard_map
+    traces the kernel PER SHARD, so the pallas MSM/pow kernels stay active
+    on real multi-chip TPU (round-3 verdict ask #7)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_pow import no_pallas_pow
+
+    raw, final_positions = _prover_fn_core(
+        m, bit_length, deg, seeded, witness_len, pos, pos_begin, cur_flags,
+        use_pallas=use_pallas,
+    )
+
+    def prove(*a):
+        # the trace-time pow gate rides the trace of this body
+        if use_pallas:
+            return raw(*a)
+        with no_pallas_pow():
+            return raw(*a)
+    ax = mesh.axis_names[0]
+    dp = P(ax)
+    dp1 = P(None, ax)  # batch on axis 1 (ext_blocks, d_l_in, d_r_in)
+    rep = PointArray(P(), P(), P(), P())  # generator tables replicated
+    in_specs = (dp, dp, dp1, dp, dp, dp, rep, rep, dp1, dp1, dp, dp)
+    out_specs = (dp, P(None, None, ax), dp, dp, dp, dp, dp, dp, dp, dp, dp)
+    fn = jax.jit(
+        jax.shard_map(prove, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_vma=False)
+    )
+    return fn, final_positions
 
 
 def prove_batch_with_rng(
@@ -585,19 +653,32 @@ def prove_batch_with_rng(
     gihi_tables = gens.bp_gens.fixed_tables_sliced(2 * mn)
     hg_tables = gens.pc_gens.device_base_tables()
 
-    fn, final_positions = _prover_fn(
-        m,
-        bit_length,
-        extension_degree,
-        seeded,
-        wb_arr.shape[1],
-        stacked.strobe.pos,
-        stacked.strobe.pos_begin,
-        stacked.strobe.cur_flags,
-        # GSPMD auto-partitioning cannot split a pallas custom call: the
-        # sharded path keeps the XLA MSMs (each shard is batch-parallel).
-        use_pallas=mesh is None,
-    )
+    if mesh is None:
+        fn, final_positions = _prover_fn(
+            m,
+            bit_length,
+            extension_degree,
+            seeded,
+            wb_arr.shape[1],
+            stacked.strobe.pos,
+            stacked.strobe.pos_begin,
+            stacked.strobe.cur_flags,
+            use_pallas=True,
+        )
+    else:
+        # shard_map traces per shard, so the pallas kernels stay active on
+        # multi-chip (GSPMD auto-partitioning could not split them).
+        fn, final_positions = _prover_fn_shmap(
+            m,
+            bit_length,
+            extension_degree,
+            seeded,
+            wb_arr.shape[1],
+            stacked.strobe.pos,
+            stacked.strobe.pos_begin,
+            stacked.strobe.cur_flags,
+            mesh,
+        )
 
     args = (
         jnp.asarray(stacked.strobe.state),
@@ -643,25 +724,16 @@ def prove_batch_with_rng(
         )
         del dp
 
-    import contextlib
-
     from ..ops.pallas_pow import no_pallas_pow
     from ..utils.deepstack import deep_stack_call
 
-    # GSPMD cannot auto-partition pallas custom calls: meshed traces must
-    # not pick up the pow-chain kernel either (the MSMs are already off via
-    # use_pallas above).
-    pow_gate = no_pallas_pow() if mesh is not None else contextlib.nullcontext()
     try:
-        with pow_gate:
-            outs = deep_stack_call(fn, *args)
+        outs = deep_stack_call(fn, *args)
     except Exception:
         # The pallas MSM smoke gate (ops/pallas_msm.mosaic_available) runs at
         # tiny shapes; a Mosaic resource failure at THIS shape surfaces here,
         # inside the fused prover compile.  Rebuild without pallas — the XLA
         # MSMs always compile — rather than failing the prove call.
-        if mesh is not None:
-            raise
         import warnings
 
         from ..ops import pallas_msm
@@ -673,9 +745,10 @@ def prove_batch_with_rng(
             "the XLA MSM kernels for this shape"
         )
         pallas_msm.note_fallback(
-            f"fused prover compile (B={B}, m={m}, n={bit_length})"
+            f"fused prover compile (B={B}, m={m}, n={bit_length}, "
+            f"mesh={mesh is not None})"
         )
-        fn, final_positions = _prover_fn(
+        shape_key = (
             m,
             bit_length,
             extension_degree,
@@ -684,9 +757,13 @@ def prove_batch_with_rng(
             stacked.strobe.pos,
             stacked.strobe.pos_begin,
             stacked.strobe.cur_flags,
-            use_pallas=False,
         )
-        with no_pallas_pow():
+        if mesh is None:
+            fn, final_positions = _prover_fn(*shape_key, use_pallas=False)
+            with no_pallas_pow():
+                outs = deep_stack_call(fn, *args)
+        else:
+            fn, final_positions = _prover_fn_shmap(*shape_key, mesh, use_pallas=False)
             outs = deep_stack_call(fn, *args)
 
     (

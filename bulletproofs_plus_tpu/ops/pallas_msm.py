@@ -223,6 +223,87 @@ def _dyn_partials_kernel(x_ref, y_ref, z_ref, t_ref, dig_ref, *out_refs):
         ref[:] = c[:, :, 0][None]  # (1, 16, 64)
 
 
+def _dyn_partials_signed_kernel(x_ref, y_ref, z_ref, t_ref, dig_ref, *out_refs):
+    """Signed-digit variant (round-3 verdict ask #5, the TPU shape of
+    dalek's signed-radix recoding): digits in [-8, 7], so the in-VMEM table
+    only needs T[1..8] — 7 adds instead of 14 — and negation is two cheap
+    limb negations under a mask.  Table VMEM halves, which is what lets the
+    lane tile double."""
+    pt = PointS(x_ref[:], y_ref[:], z_ref[:], t_ref[:])  # (16, LC)
+    lc = pt.x.shape[-1]
+
+    table = [pf.identity((lc,)), pt]
+    for _ in range(7):  # T[2..8]
+        table.append(pf.padd(table[-1], pt))
+
+    dig = dig_ref[:]  # (64, LC) int32, values in [-8, 7]
+    mag = jnp.abs(dig)
+    sel = PointS(*(jnp.broadcast_to(c[:, None, :], (NLIMBS, N_WINDOWS, lc)) for c in table[0]))
+    for d in range(1, 9):
+        mask = (mag == d)[None]
+        sel = PointS(
+            *(jnp.where(mask, tc[:, None, :], sc) for tc, sc in zip(table[d], sel))
+        )
+    negm = (dig < 0)[None]
+    sel = PointS(
+        jnp.where(negm, pf.neg(sel.x), sel.x),
+        sel.y,
+        sel.z,
+        jnp.where(negm, pf.neg(sel.t), sel.t),
+    )
+    acc = pf.lane_halve_sum(sel, axis=2, width=lc)
+    for ref, c in zip(out_refs, acc):
+        ref[:] = c[:, :, 0][None]
+
+
+def signed_digits4(scalars: jnp.ndarray) -> jnp.ndarray:
+    """(n, 16) canonical limbs -> (64, n) int32 signed digits in [-8, 7]
+    with sum_j d_j 16^j == s.
+
+    Recoding is the constant-add trick (t = s + 0x88..8, digits minus 8)
+    with the nibble carries resolved by a 6-step Kogge-Stone scan — flat
+    vector ops, no sequential ripple.  Valid for s < 2^253 (canonical
+    scalars), where the carry cannot overflow digit 63."""
+    from .msm import digits4
+
+    d = digits4(scalars)  # (64, n) int32 in [0, 15], LSB first
+    e = d + 8
+    g = (e >= 16).astype(jnp.int32)
+    p = (e == 15).astype(jnp.int32)
+
+    def up(a, k):  # shift toward higher windows by k
+        return jnp.concatenate([jnp.zeros((k,) + a.shape[1:], a.dtype), a[:-k]], axis=0)
+
+    G, Pp = up(g, 1), up(p, 1)
+    k = 1
+    while k < N_WINDOWS:
+        G = G | (Pp & up(G, k))
+        Pp = Pp & up(Pp, k)
+        k *= 2
+    return ((e + G) & 15) - 8
+
+
+@functools.partial(jax.jit, static_argnames=("lc",))
+def dyn_msm_partials_signed(coords_t: tuple, digits: jnp.ndarray, lc: int = 128):
+    """Signed-digit twin of dyn_msm_partials; digits from signed_digits4
+    (already bit-reversed by the caller)."""
+    n = coords_t[0].shape[-1]
+    assert n % lc == 0
+    tiles = n // lc
+    out_shape = [jax.ShapeDtypeStruct((tiles, NLIMBS, N_WINDOWS), jnp.uint32)] * 4
+    coord_spec = pl.BlockSpec((NLIMBS, lc), lambda i: (0, i), memory_space=pltpu.VMEM)
+    dig_spec = pl.BlockSpec((N_WINDOWS, lc), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, NLIMBS, N_WINDOWS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _dyn_partials_signed_kernel,
+        grid=(tiles,),
+        out_shape=out_shape,
+        in_specs=[coord_spec] * 4 + [dig_spec],
+        out_specs=[out_spec] * 4,
+        interpret=_interpret(),
+    )(*coords_t, digits)
+
+
 @functools.partial(jax.jit, static_argnames=("lc",))
 def dyn_msm_partials(coords_t: tuple, digits: jnp.ndarray, lc: int = 128):
     """coords_t: 4 arrays (16, n) uint32 (n a multiple of lc, zero-scalar
@@ -303,15 +384,24 @@ def msm_finish(parts: tuple):
     return PointArray(*(c[:, 0] for c in outs))
 
 
-def msm_kernel_pallas(scalars: jnp.ndarray, points, lc: int | None = None):
+def msm_kernel_pallas(
+    scalars: jnp.ndarray, points, lc: int | None = None, signed: bool | None = None
+):
     """Drop-in msm_kernel (ops/msm.py) replacement on TPU: same inputs
-    ((n, 16) canonical limbs + PointArray), same result point."""
+    ((n, 16) canonical limbs + PointArray), same result point.
+
+    signed=True uses the signed-digit kernel (half the table build/VMEM);
+    default comes from BPPT_MSM_SIGNED (A/B via scripts/msm_experiments.py)."""
+    import os
+
     from . import edwards as ed
     from .edwards import PointArray
     from .msm import digits4
 
     if lc is None:
         lc = _LC
+    if signed is None:
+        signed = os.environ.get("BPPT_MSM_SIGNED", "0") == "1"
     n = scalars.shape[0]
     target = -(-n // lc) * lc
     if target != n:
@@ -319,10 +409,14 @@ def msm_kernel_pallas(scalars: jnp.ndarray, points, lc: int | None = None):
         scalars = jnp.concatenate([scalars, jnp.zeros((pad, NLIMBS), jnp.uint32)], axis=0)
         idp = ed.identity((pad,))
         points = PointArray(*(jnp.concatenate([c, i], axis=0) for c, i in zip(points, idp)))
-    digits = digits4(scalars)  # (64, n) LSB first
+    if signed:
+        digits = signed_digits4(scalars)  # (64, n) in [-8, 7], LSB first
+    else:
+        digits = digits4(scalars)  # (64, n) LSB first
     digits = digits[_BREV6]  # window j at row brev6(j) (see _finish_kernel)
     coords_t = tuple(jnp.transpose(c, (1, 0)) for c in points)
-    parts = dyn_msm_partials(coords_t, digits.astype(jnp.int32), lc=lc)
+    partials = dyn_msm_partials_signed if signed else dyn_msm_partials
+    parts = partials(coords_t, digits.astype(jnp.int32), lc=lc)
     return msm_finish(parts)
 
 

@@ -30,11 +30,10 @@ def run_variant() -> None:
     cpu = "--cpu" in sys.argv
     if cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(repo, ".jax_cache_cpu" if cpu else ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    sys.path.insert(0, repo)
+    from bulletproofs_plus_tpu.utils.envcache import enable_compile_cache
+
+    enable_compile_cache(cpu=cpu)
 
     import jax.numpy as jnp
 

@@ -19,11 +19,15 @@ try:
 except (ValueError, OSError):
     pass
 
+import sys
+
 import jax
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, repo)
+from bulletproofs_plus_tpu.utils.envcache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(cpu=False)
 
 import jax.numpy as jnp
 import numpy as np
@@ -115,3 +119,59 @@ for _ in range(reps):
     out = fixed_msm_grouped(fsc2, tables, 2)
 out.x.block_until_ready()
 emit("grouped_128x2x64_ms", value=round((time.perf_counter() - t0) / reps * 1e3, 2))
+
+# --- signed-digit dynamic variant A/B (round-4: halved table build) ---------
+from bulletproofs_plus_tpu.ops.pallas_msm import msm_kernel_pallas
+
+for lanes in (4096, 8192):
+    scb = jnp.asarray(pack_ints([(i * 0x9E3779B97F4A7C15 + 1) % hr.L for i in range(lanes)]))
+    base = ed.from_host([hr.BASEPOINT])
+    ptsb = ed.PointArray(*(jnp.broadcast_to(c, (lanes, 16)) for c in base))
+    got_u = msm_kernel_pallas(scb, ptsb, signed=False)
+    got_s = msm_kernel_pallas(scb, ptsb, signed=True)
+    from bulletproofs_plus_tpu.ops import ristretto as rist
+
+    emit(f"signed_{lanes}_exact", ok=bool(rist.point_equal(got_u, got_s)))
+    for name, flag in (("unsigned", False), ("signed", True)):
+        out = msm_kernel_pallas(scb, ptsb, signed=flag)
+        out.x.block_until_ready()
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = msm_kernel_pallas(scb, ptsb, signed=flag)
+        out.x.block_until_ready()
+        emit(
+            f"dynvariant_{name}_{lanes}_ms",
+            value=round((time.perf_counter() - t0) / reps * 1e3, 2),
+        )
+
+# --- pow chain: pallas vs XLA at the verifier decompress width --------------
+from bulletproofs_plus_tpu.ops import field as F
+from bulletproofs_plus_tpu.ops.pallas_pow import pow_p58_pallas
+
+NPOW = 4864  # 256 proofs x K=19
+xs = jnp.asarray(pack_ints([(i * 0x9E3779B97F4A7C15 + 7) % hr.P for i in range(NPOW)]))
+xla_chain = jax.jit(lambda v: F.inv25519(v))  # same depth class, pure XLA
+
+
+@jax.jit
+def _pow_pallas_jit(v):
+    return pow_p58_pallas(v)
+
+
+got_pal = _pow_pallas_jit(xs)
+got_pal.block_until_ready()
+from bulletproofs_plus_tpu.ops.limbs import unpack_ints
+
+check = unpack_ints(np.asarray(got_pal[:4]))
+wantp = [pow((i * 0x9E3779B97F4A7C15 + 7) % hr.P, (hr.P - 5) // 8, hr.P) for i in range(4)]
+emit("pow_pallas_exact", ok=[g % hr.P for g in check] == wantp)
+for name, fn in (("pallas", _pow_pallas_jit), ("xla", xla_chain)):
+    out = fn(xs)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = fn(xs)
+    out.block_until_ready()
+    emit(f"pow_{name}_{NPOW}_ms", value=round((time.perf_counter() - t0) / reps * 1e3, 2))

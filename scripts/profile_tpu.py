@@ -35,10 +35,12 @@ def _setup(cpu: bool) -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if cpu:
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache_cpu"))
-    else:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import sys
+
+    sys.path.insert(0, repo)
+    from bulletproofs_plus_tpu.utils.envcache import enable_compile_cache
+
+    enable_compile_cache(cpu=cpu)
 
 
 def _device_events(trace_dir: str):

@@ -97,3 +97,30 @@ def test_pow_p58_pallas_2d_shape():
     got = unpack_ints(np.asarray(pow_p58_pallas(x)).reshape(6, 16))
     want = [pow(v, (hr.P - 5) // 8, hr.P) for v in vals]
     assert [g % hr.P for g in got] == want
+
+
+def test_signed_digits4_reconstructs():
+    """Signed recode: sum_j d_j 16^j == s with every digit in [-8, 7]."""
+    from bulletproofs_plus_tpu.ops.pallas_msm import signed_digits4
+
+    rs = np.random.RandomState(31)
+    vals = [0, 1, hr.L - 1, (1 << 252) + 5] + [
+        int.from_bytes(rs.bytes(32), "little") % hr.L for _ in range(28)
+    ]
+    digs = np.asarray(signed_digits4(jnp.asarray(pack_ints(vals))))
+    assert digs.min() >= -8 and digs.max() <= 7
+    for i, v in enumerate(vals):
+        assert sum(int(digs[j, i]) * 16**j for j in range(64)) == v
+
+
+def test_msm_kernel_pallas_signed_matches_host():
+    """Signed-digit dynamic MSM kernel vs host Pippenger (interpret mode)."""
+    n = 8
+    rs = np.random.RandomState(17)
+    scal = [int.from_bytes(rs.bytes(32), "little") % hr.L for _ in range(n)]
+    base_pts = [hr.point_mul(3 * i + 1, hr.BASEPOINT) for i in range(n)]
+    sc = jnp.asarray(pack_ints(scal))
+    pts = ed.from_host(base_pts)
+    got = pm.msm_kernel_pallas(sc, pts, lc=8, signed=True)
+    want = host_msm(scal, base_pts)
+    assert hr.point_equal(ed.to_host(got), want)
