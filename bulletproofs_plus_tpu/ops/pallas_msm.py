@@ -118,7 +118,15 @@ def mosaic_available() -> bool:
             fail = ""
             for lc in (128, 64):
                 try:
-                    ok = bool(_mosaic_smoke(lc))
+                    # The gate's first call usually happens INSIDE a jit trace
+                    # (the dispatch predicates run while tracing the verifier/
+                    # prover kernels).  An ambient trace stages every op — the
+                    # smoke's bool() checks would see tracers and "fail" even
+                    # though Mosaic is fine (the round-3 silent-fallback root
+                    # cause).  ensure_compile_time_eval runs the smoke eagerly
+                    # on the device regardless of the ambient trace.
+                    with jax.ensure_compile_time_eval():
+                        ok = bool(_mosaic_smoke(lc))
                     if not ok:
                         fail = f"wrong value at lc={lc}"
                 except Exception as e:  # Mosaic compile/launch rejection
