@@ -515,7 +515,10 @@ def prove_batch_with_rng(
     mesh: the fused kernel is batch-parallel end to end, so XLA partitions
     it with NO cross-device collectives — pure dp scale-out.
     """
+    from ..ops.pallas_msm import mosaic_available
     from .range_proof import RangeProof
+
+    mosaic_available()  # decide the Mosaic gate eagerly, never inside a trace
 
     B = len(statements)
     if not (len(transcripts) == len(witnesses) == B and B > 0):

@@ -490,6 +490,11 @@ class RangeProof:
         batch_proofs = proofs[:MAX_RANGE_PROOF_BATCH_SIZE]
         batch_transcripts = transcripts[:MAX_RANGE_PROOF_BATCH_SIZE]
         if engine == "device":
+            # Decide the Mosaic gate EAGERLY before any kernel trace — a
+            # trace-time first call is conservative-False (pallas_msm.py).
+            from ..ops.pallas_msm import mosaic_available
+
+            mosaic_available()
             return RangeProof._verify_device(
                 batch_transcripts, batch_statements, batch_proofs, action, mesh
             )
@@ -523,6 +528,9 @@ class RangeProof:
         batches are dispatched once any failure is known.
         """
         from ..errors import ProofError
+        from ..ops.pallas_msm import mosaic_available
+
+        mosaic_available()  # decide the Mosaic gate eagerly (see verify_batch)
 
         b_q: List = []  # (idx, stage) pending seed fetch -> kernel 2
         c_q: List = []  # (idx, stage) pending verdict fetch

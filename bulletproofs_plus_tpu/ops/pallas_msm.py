@@ -47,8 +47,9 @@ def _interpret() -> bool:
 
 
 _MOSAIC_OK: bool | None = None
-# Dynamic-MSM lane-tile width; the smoke gate steps it down (128 -> 64) if
-# Mosaic runs out of VMEM at the default before disabling pallas outright.
+# Dynamic-MSM lane-tile width.  Must stay a multiple of 128 (Mosaic's
+# last-block-dim rule); if VMEM ever overflows at 128, the signed-digit
+# kernel (half the table VMEM) is the fallback, not a narrower tile.
 _LC = 128
 # Why pallas is off, if it is (smoke-gate failure or a runtime disable after
 # a production-shape kernel failure).  Surfaced by pallas_status() so
@@ -98,6 +99,16 @@ def pallas_status() -> dict:
     }
 
 
+def _trace_state_clean() -> bool:
+    """True when no jit/pjit trace is ambient (i.e. ops run eagerly)."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return bool(trace_state_clean())
+    except Exception:  # private API moved: detect via a staged op instead
+        return not isinstance(jnp.zeros(()), jax.core.Tracer)
+
+
 def mosaic_available() -> bool:
     """First-use smoke gate for the real Mosaic compiler.
 
@@ -105,28 +116,34 @@ def mosaic_available() -> bool:
     against a host-computed expectation.  If Mosaic rejects anything (or the
     result is wrong), warn once and permanently route this process to the
     pure-XLA kernels instead of crashing the caller — the XLA path is always
-    correct, just slower.  A VMEM/resource failure at the default lane tile
-    retries one size down first.  Interpret mode (CPU tests) skips the gate;
-    the test suite exercises those kernels directly."""
+    correct, just slower.  Interpret mode (CPU tests) skips the gate; the
+    test suite exercises those kernels directly.
+
+    MUST run eagerly: under an ambient jit trace the smoke's bool() checks
+    would see tracers (the round-3 silent-fallback root cause), and wrapping
+    it in ensure_compile_time_eval makes every kernel-internal jnp.zeros /
+    identity constant-fold into concrete arrays that Mosaic then rejects as
+    captured constants (observed on real TPU, round 4).  So: if called while
+    tracing before any eager call decided the gate, return False for THIS
+    trace without caching — the host entry points (verify_batch,
+    prove_batch_with_rng, verify_batches_pipelined) warm the gate eagerly
+    before building their graphs."""
     global _MOSAIC_OK, _LC, _OFF_REASON
     if _MOSAIC_OK is None:
         if _interpret():
             _MOSAIC_OK = True
+        elif not _trace_state_clean():
+            return False  # conservative, NOT cached; see docstring
         else:
             import warnings
 
             fail = ""
-            for lc in (128, 64):
+            # lc must be a multiple of 128: Mosaic requires the last block
+            # dim be 128-divisible (or equal the whole array's) — a 64-lane
+            # tile of a 512-lane array is structurally rejected.
+            for lc in (128,):
                 try:
-                    # The gate's first call usually happens INSIDE a jit trace
-                    # (the dispatch predicates run while tracing the verifier/
-                    # prover kernels).  An ambient trace stages every op — the
-                    # smoke's bool() checks would see tracers and "fail" even
-                    # though Mosaic is fine (the round-3 silent-fallback root
-                    # cause).  ensure_compile_time_eval runs the smoke eagerly
-                    # on the device regardless of the ambient trace.
-                    with jax.ensure_compile_time_eval():
-                        ok = bool(_mosaic_smoke(lc))
+                    ok = bool(_mosaic_smoke(lc))
                     if not ok:
                         fail = f"wrong value at lc={lc}"
                 except Exception as e:  # Mosaic compile/launch rejection
@@ -514,6 +531,12 @@ def fixed_msm_batched_pallas(scalars: jnp.ndarray, tables_t: tuple, groups: int 
     # Chunk size: a power of two; each group padded independently so group
     # boundaries align with chunk boundaries.
     sc = min(128, _next_pow2(per_group))
+    if groups > 1 and sc < 128:
+        # Mosaic block rule: the last block dim must be a multiple of 128 or
+        # equal the whole array's lane count.  With one group the sc-lane
+        # block IS the array; with several, pad each group to 128 lanes
+        # (zero digits select the identity — a few extra halving adds).
+        sc = 128
     padded_group = -(-per_group // sc) * sc
     if padded_group != per_group:
         flat = flat.reshape(f, groups, per_group, NLIMBS)

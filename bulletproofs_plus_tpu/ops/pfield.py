@@ -108,19 +108,26 @@ def conv_planes(a: jnp.ndarray, b: jnp.ndarray):
     return acc_lo, acc_hi
 
 
+def _add_row0(x: jnp.ndarray, row: jnp.ndarray) -> jnp.ndarray:
+    """x + row placed at limb 0 — concatenate/pad, NOT .at[].add: an indexed
+    add lowers to scatter-add, which Mosaic's TPU lowering rejects (observed
+    on real hardware, round 4)."""
+    z = jnp.zeros((x.shape[0] - 1,) + x.shape[1:], jnp.uint32)
+    return x + jnp.concatenate([row, z], axis=0)
+
+
 def _finish_mod(acc32: jnp.ndarray) -> jnp.ndarray:
     """(32, ...) limbs < 2^27 -> (16, ...) carried limbs, 2^256 == 38 fold."""
     folded = acc32[:NLIMBS] + 38 * acc32[NLIMBS:]
     c = carry_prop(folded, NLIMBS + 1)
-    out = c[:NLIMBS].at[0:1].add(38 * c[NLIMBS:])
+    out = _add_row0(c[:NLIMBS], 38 * c[NLIMBS:])
     # top limb is small, so 38*top < 2^21: one more light carry pass
     return carry_prop(out, NLIMBS)
 
 
 def _finish_17(c17: jnp.ndarray) -> jnp.ndarray:
     """(17, ...) carried limbs -> fold the single overflow limb via 38."""
-    out = c17[:NLIMBS].at[0:1].add(38 * c17[NLIMBS:])
-    return carry_prop(out, NLIMBS)
+    return carry_prop(_add_row0(c17[:NLIMBS], 38 * c17[NLIMBS:]), NLIMBS)
 
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
