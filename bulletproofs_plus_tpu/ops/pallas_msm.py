@@ -380,7 +380,9 @@ def _finish_kernel(x_ref, y_ref, z_ref, t_ref, *out_refs):
     while w > 1:
         w //= 2
         lo = PointS(*(c[:, :w] for c in acc))
-        hi = PointS(*(c[:, w : 2 * w] for c in acc))
+        # roll-then-slice keeps the hi half at lane offset 0 (see
+        # pfield.lane_halve_sum — offset slices trip Mosaic's concat layout)
+        hi = PointS(*(jnp.roll(c, -w, 1)[:, :w] for c in acc))
 
         def dbl_body(_, p):
             return pf.pdbl(p)

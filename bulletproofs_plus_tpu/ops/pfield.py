@@ -236,17 +236,22 @@ def pselect(mask: jnp.ndarray, p: PointS, q: PointS) -> PointS:
 
 def lane_halve_sum(p: PointS, axis: int, width: int) -> PointS:
     """Sum a PointS over `axis` (static `width`, a power of two) by repeated
-    halving — log2(width) complete additions, zero HBM traffic in-kernel."""
+    halving — log2(width) complete additions, zero HBM traffic in-kernel.
+
+    The upper half is extracted as roll(-w)[:w] rather than [w:2w]: an
+    offset lane slice feeding the next level's conv concats trips Mosaic's
+    "result/input offset mismatch on non-concat dimension" (observed on real
+    TPU, round 4); the rotate re-bases the lanes to offset 0 and lowers fine
+    both in Mosaic and under plain jit."""
     assert width & (width - 1) == 0
     w = width
     while w > 1:
         w //= 2
         idx_lo = [slice(None)] * p.x.ndim
-        idx_hi = [slice(None)] * p.x.ndim
         idx_lo[axis] = slice(0, w)
-        idx_hi[axis] = slice(w, 2 * w)
+        idx_lo = tuple(idx_lo)
         p = padd(
-            PointS(*(c[tuple(idx_lo)] for c in p)),
-            PointS(*(c[tuple(idx_hi)] for c in p)),
+            PointS(*(c[idx_lo] for c in p)),
+            PointS(*(jnp.roll(c, -w, axis)[idx_lo] for c in p)),
         )
     return p
