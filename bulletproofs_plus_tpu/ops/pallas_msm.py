@@ -106,7 +106,13 @@ def _trace_state_clean() -> bool:
 
         return bool(trace_state_clean())
     except Exception:  # private API moved: detect via a staged op instead
-        return not isinstance(jnp.zeros(()), jax.core.Tracer)
+        try:
+            return not isinstance(jnp.zeros(()), jax.core.Tracer)
+        except Exception:
+            # Both probes gone (future JAX): assume eager — the smoke's
+            # value check still guards correctness, and a wrong guess here
+            # only risks an avoidable XLA fallback, never a wrong result.
+            return True
 
 
 def mosaic_available() -> bool:
@@ -133,84 +139,122 @@ def mosaic_available() -> bool:
         if _interpret():
             _MOSAIC_OK = True
         elif not _trace_state_clean():
-            return False  # conservative, NOT cached; see docstring
+            # Conservative, NOT cached; see docstring.  Record the event so
+            # a cold-trace dispatch that permanently baked the XLA path into
+            # some jitted graph is visible in pallas_status() / bench output
+            # (a silent one cost round 3 its verdict).
+            note_fallback("trace-time gate miss (XLA baked into this trace)")
+            return False
         else:
             import warnings
 
-            fail = ""
-            # lc must be a multiple of 128: Mosaic requires the last block
-            # dim be 128-divisible (or equal the whole array's) — a 64-lane
-            # tile of a 512-lane array is structurally rejected.
-            for lc in (128,):
-                try:
-                    ok = bool(_mosaic_smoke(lc))
-                    if not ok:
-                        fail = f"wrong value at lc={lc}"
-                except Exception as e:  # Mosaic compile/launch rejection
-                    fail = f"smoke failed at lc={lc}: {type(e).__name__}: {e}"
-                    warnings.warn(f"pallas MSM {fail}")
-                    ok = False
-                if ok:
-                    _LC = lc
-                    _MOSAIC_OK = True
-                    break
+            arms = mosaic_smoke_arms(_LC)
+            fails = {k: v for k, v in arms.items() if v is not None}
+            if not fails:
+                _MOSAIC_OK = True
             else:
+                detail = "; ".join(f"{k}: {v}" for k, v in fails.items())
                 warnings.warn(
-                    "pallas MSM smoke failed or returned a wrong value; "
+                    f"pallas MSM smoke failed [{detail}]; "
                     "falling back to the XLA MSM kernels"
                 )
                 _MOSAIC_OK = False
-                _OFF_REASON = fail or "smoke gate failed"
+                _OFF_REASON = detail
     return _MOSAIC_OK
 
 
-def _mosaic_smoke(lc: int = 128) -> bool:
-    """One tiny dynamic MSM + one tiny fixed-base MSM through the Mosaic
-    kernels, value-checked against host big-int arithmetic."""
+def _smoke_dyn(lc: int) -> str | None:
+    """Multi-tile dynamic MSM (4 tiles at lc=128 — the exact grid shape that
+    failed on hardware in round 4) against a host big-int expectation."""
     from . import edwards as ed
     from . import host_ristretto as hr
     from . import ristretto as rist
-    from .fixed_base import build_tables, transpose_tables
     from .limbs import pack_ints
 
-    # Dynamic: sum_{i<512} (i+1) * B == (512*513/2) * B
-    n = 512
+    n = 4 * lc
     sc = jnp.asarray(pack_ints([i + 1 for i in range(n)]))
     base = ed.from_host([hr.BASEPOINT])
     pts = ed.PointArray(*(jnp.broadcast_to(c, (n, 16)) for c in base))
     got = msm_kernel_pallas(sc, pts, lc=lc)
     want = ed.from_host([hr.point_mul(n * (n + 1) // 2, hr.BASEPOINT)])
     want = ed.PointArray(*(c[0] for c in want))
-    ok_dyn = bool(rist.point_equal(got, want))
+    if bool(rist.point_equal(got, want)):
+        return None
+    return f"dyn n={n} wrong point"
 
-    # Fixed-base: P_s = (s+1)*B, scalars[f, s] = f + s + 1, F=8, S=64
+
+def _smoke_fixed(groups: int = 1) -> str | None:
+    """Fixed-base batched MSM; groups=2 exercises the sc=128 pad bump the
+    prover's grouped L/R shape compiles (round-4 advisor: that production
+    branch had no hardware value-check)."""
+    from . import edwards as ed
+    from . import host_ristretto as hr
+    from . import ristretto as rist
+    from .fixed_base import build_tables, transpose_tables
+    from .limbs import pack_ints
+
     s_lanes, f_rows = 64, 8
     host_pts = [hr.point_mul(s + 1, hr.BASEPOINT) for s in range(s_lanes)]
     tables_t = transpose_tables(build_tables(ed.from_host(host_pts)))
     scal = jnp.asarray(
         pack_ints([f + s + 1 for f in range(f_rows) for s in range(s_lanes)])
     ).reshape(f_rows, s_lanes, NLIMBS)
-    got_f = fixed_msm_batched_pallas(scal, tables_t)
-    want_f = ed.from_host(
+    got_f = fixed_msm_batched_pallas(scal, tables_t, groups=groups)
+    per_group = s_lanes // groups
+    want_ints = [
         [
-            hr.point_mul(
-                sum((f + s + 1) * (s + 1) for s in range(s_lanes)) % hr.L,
-                hr.BASEPOINT,
+            sum(
+                (f + s + 1) * (s + 1)
+                for s in range(g * per_group, (g + 1) * per_group)
             )
-            for f in range(f_rows)
+            % hr.L
+            for g in range(groups)
         ]
+        for f in range(f_rows)
+    ]
+    want_f = ed.from_host(
+        [hr.point_mul(k, hr.BASEPOINT) for row in want_ints for k in row]
     )
-    ok_fixed = bool(jnp.all(rist.point_equal(got_f, want_f)))
+    shape = (f_rows, groups) if groups > 1 else (f_rows,)
+    want_f = ed.PointArray(*(c.reshape(shape + (NLIMBS,)) for c in want_f))
+    if bool(jnp.all(rist.point_equal(got_f, want_f))):
+        return None
+    return f"fixed groups={groups} wrong point(s)"
 
-    # Pow chain (ops/pallas_pow.py): x^((p-5)/8) for x = 2..130 vs host ints
-    from .limbs import unpack_ints
+
+def _smoke_pow() -> str | None:
+    """Pow chain (ops/pallas_pow.py): x^((p-5)/8) for x = 2..130 vs host."""
+    from . import host_ristretto as hr
+    from .limbs import pack_ints, unpack_ints
     from .pallas_pow import pow_p58_pallas
 
     xs = pack_ints([i + 2 for i in range(128)])
     got_p = unpack_ints(np.asarray(pow_p58_pallas(jnp.asarray(xs))))
-    want_p = [pow(i + 2, (hr.P - 5) // 8, hr.P) for i in range(128)]
-    ok_pow = [g % hr.P for g in got_p] == want_p  # pfield is not canonicalizing
-    return ok_dyn and ok_fixed and ok_pow
+    e = (hr.P - 5) // 8
+    for i, g in enumerate(got_p):
+        w = pow(i + 2, e, hr.P)
+        if g % hr.P != w:  # pfield is not canonicalizing
+            return f"pow lane {i}: got 0x{g % hr.P:x} want 0x{w:x}"
+    return None
+
+
+def mosaic_smoke_arms(lc: int = 128) -> dict:
+    """Run every smoke arm independently; {arm: None | failure detail}.
+    Exceptions (Mosaic compile/launch rejections) become details too, so one
+    broken arm can't mask the others' status."""
+    arms = {}
+    for name, fn in (
+        ("dyn", lambda: _smoke_dyn(lc)),
+        ("fixed", lambda: _smoke_fixed(1)),
+        ("fixed_g2", lambda: _smoke_fixed(2)),
+        ("pow", _smoke_pow),
+    ):
+        try:
+            arms[name] = fn()
+        except Exception as e:  # Mosaic compile/launch rejection
+            msg = str(e).split("\n")[0][:160]
+            arms[name] = f"{type(e).__name__}: {msg}"
+    return arms
 
 
 def _next_pow2(n: int) -> int:
@@ -375,23 +419,24 @@ def _finish_kernel(x_ref, y_ref, z_ref, t_ref, *out_refs):
     for t in range(1, tiles):
         acc = pf.padd(acc, PointS(*(c[t] for c in coords)))
 
+    # Full-width window fold (same rationale as pfield.lane_halve_sum: no
+    # sub-128-lane sliced intermediates, which Mosaic miscompiled round 4).
+    # Level l: acc[j] += 16^(2^l) * acc[j + w] for j < w; lanes >= w go
+    # stale but stay well-formed and are never read.
     w = N_WINDOWS
     lvl = 0
     while w > 1:
         w //= 2
-        lo = PointS(*(c[:, :w] for c in acc))
-        # roll-then-slice keeps the hi half at lane offset 0 (see
-        # pfield.lane_halve_sum — offset slices trip Mosaic's concat layout)
-        hi = PointS(*(jnp.roll(c, -w, 1)[:, :w] for c in acc))
+        hi = PointS(*(jnp.roll(c, -w, 1) for c in acc))
 
         def dbl_body(_, p):
             return pf.pdbl(p)
 
         hi = jax.lax.fori_loop(0, 4 << lvl, dbl_body, hi)
-        acc = pf.padd(lo, hi)
+        acc = pf.padd(acc, hi)
         lvl += 1
     for ref, c in zip(out_refs, acc):
-        ref[:] = c  # (16, 1)
+        ref[:] = c[:, :1]  # (16, 1): lane 0 holds the fold
 
 
 @jax.jit

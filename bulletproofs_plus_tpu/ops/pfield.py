@@ -238,20 +238,22 @@ def lane_halve_sum(p: PointS, axis: int, width: int) -> PointS:
     """Sum a PointS over `axis` (static `width`, a power of two) by repeated
     halving — log2(width) complete additions, zero HBM traffic in-kernel.
 
-    The upper half is extracted as roll(-w)[:w] rather than [w:2w]: an
-    offset lane slice feeding the next level's conv concats trips Mosaic's
-    "result/input offset mismatch on non-concat dimension" (observed on real
-    TPU, round 4); the rotate re-bases the lanes to offset 0 and lowers fine
-    both in Mosaic and under plain jit."""
+    FULL-WIDTH fold: every level adds the array to itself rotated by -w and
+    keeps the physical width; only lanes [0, w) stay meaningful (the rest
+    hold sums of wrong pairs — still well-formed field elements, never
+    read).  Round-4 hardware debugging showed two Mosaic lowering hazards
+    with the narrowing variants: offset lane slices ([w:2w]) feeding conv
+    concats are rejected outright, and sub-128-lane sliced intermediates
+    produced a wrong value in the multi-tile dynamic MSM (BENCH_r04
+    off_reason "wrong value at lc=128").  Full-width rolls avoid narrow
+    layouts entirely at zero cost — sub-128 widths are lane-padded to the
+    full register anyway."""
     assert width & (width - 1) == 0
     w = width
     while w > 1:
         w //= 2
-        idx_lo = [slice(None)] * p.x.ndim
-        idx_lo[axis] = slice(0, w)
-        idx_lo = tuple(idx_lo)
-        p = padd(
-            PointS(*(c[idx_lo] for c in p)),
-            PointS(*(jnp.roll(c, -w, axis)[idx_lo] for c in p)),
-        )
-    return p
+        p = padd(p, PointS(*(jnp.roll(c, -w, axis) for c in p)))
+    idx = [slice(None)] * p.x.ndim
+    idx[axis] = slice(0, 1)
+    idx = tuple(idx)
+    return PointS(*(c[idx] for c in p))
