@@ -223,10 +223,26 @@ def main() -> None:
         BIT_LENGTH, 1, m, rounds,
         stacked.strobe.pos, stacked.strobe.pos_begin, stacked.strobe.cur_flags,
     )
+    state_dev = jnp.asarray(stacked.strobe.state)
     t0 = time.perf_counter()
-    y, z, es, e, seeds, bad_id, bad_zero = rep(jnp.asarray(stacked.strobe.state), buf)
+    y, z, es, e, seeds, bad_id, bad_zero = rep(state_dev, buf)
     seeds_np = np.asarray(seeds)
     t_replay = time.perf_counter() - t0
+    # Marginal device time: wall includes one flat ~28 ms tunnel sync
+    # (CLAUDE.md tunnel economics) that the pipeline hides across batches.
+    # (t(3 queued dispatches) - t(1)) / 2 cancels the sync cost.
+    def _marginal(fn, reps=3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = fn()
+        jax.block_until_ready(o)
+        t3 = time.perf_counter() - t0
+        return max(0.0, (t3 - t1) / (reps - 1))
+
+    t_replay_dev = _marginal(lambda: rep(state_dev, buf))
 
     t0 = time.perf_counter()
     weights = RP._draw_weights([row.tobytes() for row in seeds_np], BATCH)
@@ -242,11 +258,19 @@ def main() -> None:
     )
     assert bool(ok)
     t_kernel = time.perf_counter() - t0
+    t_kernel_dev = _marginal(
+        lambda: verify_group_bytes(
+            y, z, es, e, w_dev, buf, tables_, g_base_pts, h_base_pt,
+            m=m, bit_length=BIT_LENGTH, extension_degree=1, max_mn=max_mn,
+        )
+    )
 
     _emit("verify_stage_pack_ms", t_pack * 1e3, "ms")
-    _emit("verify_stage_replay_kernel_ms", t_replay * 1e3, "ms")
+    _emit("verify_stage_replay_kernel_ms", t_replay * 1e3, "ms",
+          device_marginal_ms=round(t_replay_dev * 1e3, 3))
     _emit("verify_stage_weights_ms", t_weights * 1e3, "ms")
-    _emit("verify_stage_fused_kernel_ms", t_kernel * 1e3, "ms")
+    _emit("verify_stage_fused_kernel_ms", t_kernel * 1e3, "ms",
+          device_marginal_ms=round(t_kernel_dev * 1e3, 3))
 
     # ---- secondary: MSM throughput vs derived speed-of-light ------------------
     from bulletproofs_plus_tpu.ops import edwards as ed
@@ -278,13 +302,61 @@ def main() -> None:
         fraction_of_peak=round(sol / t_msm, 4),
     )
 
+    # ---- aggregated flagship cells (BASELINE.json's north star reads
+    # "aggregated 64-bit proofs/s"; the headline above is the m=1 serving
+    # path) — one proof covering m commitments, batch-verified on device.
+    # Matches the reference's aggregated verify bench grid,
+    # /root/reference/benches/range_proof.rs:122-203.
+    for m_agg, agg_batch in ((4, 64), (16, 16)):
+        try:
+            params_m = RangeParameters.init(BIT_LENGTH, m_agg, pc_gens)
+            agg_statements, agg_proofs = [], []
+            for i in range(2):
+                vals = [(1 << 60) + 7 * i + j for j in range(m_agg)]
+                blinds = [555000 + 13 * i + j for j in range(m_agg)]
+                cs = [pc_gens.commit(v, [b]) for v, b in zip(vals, blinds)]
+                st_m = RangeStatement.init(params_m, cs, [None] * m_agg, None)
+                wit_m = RangeWitness.init(
+                    [CommitmentOpening(v, [b]) for v, b in zip(vals, blinds)]
+                )
+                agg_proofs.append(
+                    RangeProof.prove_with_rng(Transcript(b"bench-agg"), st_m, wit_m, rng)
+                )
+                agg_statements.append(st_m)
+            agg_statements = [agg_statements[i % 2] for i in range(agg_batch)]
+            agg_proofs = [agg_proofs[i % 2] for i in range(agg_batch)]
+
+            def run_agg():
+                return RangeProof.verify_batch(
+                    [Transcript(b"bench-agg") for _ in range(agg_batch)],
+                    agg_statements, agg_proofs,
+                    VerifyAction.VERIFY_ONLY, engine="device",
+                )
+
+            run_agg()  # warm/compile
+            t0 = time.perf_counter()
+            agg_iters = 3
+            for _ in range(agg_iters):
+                run_agg()
+            agg_s = (time.perf_counter() - t0) / agg_iters
+            _emit(
+                f"batch_verify_64bit_m{m_agg}_proofs_per_sec",
+                agg_batch / agg_s, "proofs/s",
+                batch=agg_batch, aggregation=m_agg,
+                commitments_per_sec=round(agg_batch * m_agg / agg_s, 1),
+                vs_baseline=round(agg_batch / agg_s / BASELINE_PROOFS_PER_SEC, 4),
+            )
+        except Exception as exc:  # best-effort: never fail the whole bench
+            _emit(f"batch_verify_64bit_m{m_agg}_proofs_per_sec", 0.0, "proofs/s",
+                  error=f"{type(exc).__name__}: {exc}"[:300])
+
     # ---- secondary: prove latency p50 ------------------------------------------
     # Round 3 rebuilt the prover as ONE fused kernel (in-kernel Fiat-Shamir +
     # fixed-base round MSMs, models/prover_device.py) — a single compile per
     # (B, shape), so this runs by default.  Opt out with BPP_BENCH_PROVE=0.
     if os.environ.get("BPP_BENCH_PROVE", "1") == "1":
         try:
-            PB = 128
+            PB = int(os.environ.get("BPP_BENCH_PROVE_B", "128"))
             pr_statements, pr_witnesses = [], []
             for i in range(PB):
                 v, b = (1 << 62) + i, 13371337 + i

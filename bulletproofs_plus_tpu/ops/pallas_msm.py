@@ -266,18 +266,12 @@ def _next_pow2(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _dyn_partials_kernel(x_ref, y_ref, z_ref, t_ref, dig_ref, *out_refs):
-    """One lane tile: build T[d] = d*P in VMEM (14 adds), select per window
-    via 15 compare-adds on the full (limb, window, lane) block, halve the
-    lane axis to per-window partial points."""
-    pt = PointS(x_ref[:], y_ref[:], z_ref[:], t_ref[:])  # (16, LC)
-    lc = pt.x.shape[-1]
-
+def _dyn_select(pt: PointS, dig: jnp.ndarray, lc: int) -> PointS:
+    """Build T[d] = d*P in VMEM (14 adds), select per window via 15
+    compare-selects on the full (limb, window, lane) block."""
     table = [pf.identity((lc,)), pt]
     for _ in range(N_DIGITS - 2):
         table.append(pf.padd(table[-1], pt))
-
-    dig = dig_ref[:]  # (64, LC) int32
     sel = PointS(*(jnp.broadcast_to(c[:, None, :], (NLIMBS, N_WINDOWS, lc)) for c in table[0]))
     for d in range(1, N_DIGITS):
         mask = (dig == d)[None]  # (1, 64, LC)
@@ -287,25 +281,17 @@ def _dyn_partials_kernel(x_ref, y_ref, z_ref, t_ref, dig_ref, *out_refs):
                 for tc, sc in zip(table[d], sel)
             )
         )
-    acc = pf.lane_halve_sum(sel, axis=2, width=lc)  # (16, 64, 1)
-    for ref, c in zip(out_refs, acc):
-        ref[:] = c[:, :, 0][None]  # (1, 16, 64)
+    return sel
 
 
-def _dyn_partials_signed_kernel(x_ref, y_ref, z_ref, t_ref, dig_ref, *out_refs):
-    """Signed-digit variant (round-3 verdict ask #5, the TPU shape of
-    dalek's signed-radix recoding): digits in [-8, 7], so the in-VMEM table
-    only needs T[1..8] — 7 adds instead of 14 — and negation is two cheap
-    limb negations under a mask.  Table VMEM halves, which is what lets the
-    lane tile double."""
-    pt = PointS(x_ref[:], y_ref[:], z_ref[:], t_ref[:])  # (16, LC)
-    lc = pt.x.shape[-1]
-
+def _dyn_select_signed(pt: PointS, dig: jnp.ndarray, lc: int) -> PointS:
+    """Signed-digit variant (the TPU shape of dalek's signed-radix
+    recoding): digits in [-8, 7], so the in-VMEM table only needs T[1..8] —
+    7 adds instead of 14 — and negation is two cheap masked limb
+    negations."""
     table = [pf.identity((lc,)), pt]
     for _ in range(7):  # T[2..8]
         table.append(pf.padd(table[-1], pt))
-
-    dig = dig_ref[:]  # (64, LC) int32, values in [-8, 7]
     mag = jnp.abs(dig)
     sel = PointS(*(jnp.broadcast_to(c[:, None, :], (NLIMBS, N_WINDOWS, lc)) for c in table[0]))
     for d in range(1, 9):
@@ -314,15 +300,45 @@ def _dyn_partials_signed_kernel(x_ref, y_ref, z_ref, t_ref, dig_ref, *out_refs):
             *(jnp.where(mask, tc[:, None, :], sc) for tc, sc in zip(table[d], sel))
         )
     negm = (dig < 0)[None]
-    sel = PointS(
+    return PointS(
         jnp.where(negm, pf.neg(sel.x), sel.x),
         sel.y,
         sel.z,
         jnp.where(negm, pf.neg(sel.t), sel.t),
     )
-    acc = pf.lane_halve_sum(sel, axis=2, width=lc)
-    for ref, c in zip(out_refs, acc):
-        ref[:] = c[:, :, 0][None]
+
+
+def _dyn_acc_kernel_body(select_fn, x_ref, y_ref, z_ref, t_ref, dig_ref, *out_refs):
+    """Grid (tiles,): select this tile's (limb, window, lane) points and
+    accumulate them into the single revisited output block with ONE complete
+    add per tile.  The lane fold happens once, in msm_finish — associativity
+    re-ordering that cuts the per-tile cost from log2(lc)+1 grid-wide adds
+    to one (measured 5x less VPU work; the round-5 first hardware run showed
+    the fold-per-tile variant was VPU-bound at ~55 ms for 4096 lanes, barely
+    ahead of the XLA path it replaces)."""
+    i = pl.program_id(0)
+    pt = PointS(x_ref[:], y_ref[:], z_ref[:], t_ref[:])  # (16, LC)
+    lc = pt.x.shape[-1]
+    sel = select_fn(pt, dig_ref[:], lc)
+
+    @pl.when(i == 0)
+    def _():
+        for ref, c in zip(out_refs, sel):
+            ref[:] = c
+
+    @pl.when(i != 0)
+    def _():
+        acc = pf.padd(PointS(*(ref[:] for ref in out_refs)), sel)
+        for ref, c in zip(out_refs, acc):
+            ref[:] = c
+
+
+def _dyn_acc_kernel(*refs):
+    _dyn_acc_kernel_body(_dyn_select, *refs)
+
+
+def _dyn_acc_signed_kernel(*refs):
+    _dyn_acc_kernel_body(_dyn_select_signed, *refs)
 
 
 def signed_digits4(scalars: jnp.ndarray) -> jnp.ndarray:
@@ -352,19 +368,18 @@ def signed_digits4(scalars: jnp.ndarray) -> jnp.ndarray:
     return ((e + G) & 15) - 8
 
 
-@functools.partial(jax.jit, static_argnames=("lc",))
-def dyn_msm_partials_signed(coords_t: tuple, digits: jnp.ndarray, lc: int = 128):
-    """Signed-digit twin of dyn_msm_partials; digits from signed_digits4
-    (already bit-reversed by the caller)."""
+def _dyn_partials_call(kernel, coords_t: tuple, digits: jnp.ndarray, lc: int):
     n = coords_t[0].shape[-1]
     assert n % lc == 0
     tiles = n // lc
-    out_shape = [jax.ShapeDtypeStruct((tiles, NLIMBS, N_WINDOWS), jnp.uint32)] * 4
+    out_shape = [jax.ShapeDtypeStruct((NLIMBS, N_WINDOWS, lc), jnp.uint32)] * 4
     coord_spec = pl.BlockSpec((NLIMBS, lc), lambda i: (0, i), memory_space=pltpu.VMEM)
     dig_spec = pl.BlockSpec((N_WINDOWS, lc), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, NLIMBS, N_WINDOWS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (NLIMBS, N_WINDOWS, lc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
-        _dyn_partials_signed_kernel,
+        kernel,
         grid=(tiles,),
         out_shape=out_shape,
         in_specs=[coord_spec] * 4 + [dig_spec],
@@ -374,26 +389,20 @@ def dyn_msm_partials_signed(coords_t: tuple, digits: jnp.ndarray, lc: int = 128)
 
 
 @functools.partial(jax.jit, static_argnames=("lc",))
+def dyn_msm_partials_signed(coords_t: tuple, digits: jnp.ndarray, lc: int = 128):
+    """Signed-digit twin of dyn_msm_partials; digits from signed_digits4
+    (already bit-reversed by the caller)."""
+    return _dyn_partials_call(_dyn_acc_signed_kernel, coords_t, digits, lc)
+
+
+@functools.partial(jax.jit, static_argnames=("lc",))
 def dyn_msm_partials(coords_t: tuple, digits: jnp.ndarray, lc: int = 128):
     """coords_t: 4 arrays (16, n) uint32 (n a multiple of lc, zero-scalar
     padded); digits: (64, n) int32, LSB window first.
-    Returns 4 arrays (tiles, 16, 64): per-tile per-window partial points."""
-    n = coords_t[0].shape[-1]
-    assert n % lc == 0
-    tiles = n // lc
-    out_shape = [jax.ShapeDtypeStruct((tiles, NLIMBS, N_WINDOWS), jnp.uint32)] * 4
-    grid = (tiles,)
-    coord_spec = pl.BlockSpec((NLIMBS, lc), lambda i: (0, i), memory_space=pltpu.VMEM)
-    dig_spec = pl.BlockSpec((N_WINDOWS, lc), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, NLIMBS, N_WINDOWS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _dyn_partials_kernel,
-        grid=grid,
-        out_shape=out_shape,
-        in_specs=[coord_spec] * 4 + [dig_spec],
-        out_specs=[out_spec] * 4,
-        interpret=_interpret(),
-    )(*coords_t, digits)
+    Returns 4 arrays (16, 64, lc): per-(window, lane-slot) points
+    accumulated over all tiles (window axis bit-reversed, see
+    _finish_kernel)."""
+    return _dyn_partials_call(_dyn_acc_kernel, coords_t, digits, lc)
 
 
 def _brev6(j: int) -> int:
@@ -403,26 +412,32 @@ def _brev6(j: int) -> int:
 _BREV6 = np.array([_brev6(j) for j in range(N_WINDOWS)])
 
 
-def _finish_kernel(x_ref, y_ref, z_ref, t_ref, *out_refs):
-    """Cross-tile reduce + window fold, one program, all in VMEM.
+# Window-chunk width for the lane-fold grid: holding the full (16, 64, lc)
+# accumulator plus padd temporaries in one program blew the 16 MB scoped
+# VMEM limit on real hardware (27.8 MB, round-5 run 2), so the finish runs
+# as a 4-step grid over window quarters, then a tiny Horner program.
+_WQ = 16
 
-    Inputs: (tiles, 16, 64) partials whose window axis is BIT-REVERSED
-    (window j at lane brev6(j)), so the Horner recombination
-    sum_j 16^j W_j folds by contiguous halves: at level l the upper half
-    carries an extra 16^(2^l) factor — 4*2^l doublings of a vector that
-    also halves in width each level (252 doublings + 6 additions total,
-    vs 256 width-1 doublings + 64 additions for sequential Horner).
-    """
-    coords = (x_ref[:], y_ref[:], z_ref[:], t_ref[:])  # (tiles, 16, 64)
-    tiles = coords[0].shape[0]
-    acc = PointS(*(c[0] for c in coords))  # (16, 64)
-    for t in range(1, tiles):
-        acc = pf.padd(acc, PointS(*(c[t] for c in coords)))
 
-    # Full-width window fold (same rationale as pfield.lane_halve_sum: no
-    # sub-128-lane sliced intermediates, which Mosaic miscompiled round 4).
-    # Level l: acc[j] += 16^(2^l) * acc[j + w] for j < w; lanes >= w go
-    # stale but stay well-formed and are never read.
+def _lane_fold_kernel(x_ref, y_ref, z_ref, t_ref, *out_refs):
+    """One window-quarter: fold the lane axis to a single point per window
+    (log2(lc) full-width adds, see pfield.lane_halve_sum)."""
+    sel = PointS(x_ref[:], y_ref[:], z_ref[:], t_ref[:])  # (16, WQ, lc)
+    lc = sel.x.shape[-1]
+    folded = pf.lane_halve_sum(sel, axis=2, width=lc)  # (16, WQ, 1)
+    for ref, c in zip(out_refs, folded):
+        ref[:] = c[:, :, 0][None]  # (1, 16, WQ)
+
+
+def _horner_kernel(x_ref, y_ref, z_ref, t_ref, *out_refs):
+    """Window fold: input windows are BIT-REVERSED (window j at lane
+    brev6(j)), so the Horner recombination sum_j 16^j W_j folds by
+    contiguous halves: at level l the upper half carries an extra 16^(2^l)
+    factor — 4*2^l doublings of a vector whose meaningful width also halves
+    each level (252 doublings + 6 additions total, vs 256 width-1 doublings
+    + 64 additions for sequential Horner).  Full-width rolls throughout
+    (sub-128-lane sliced intermediates miscompiled in round 4)."""
+    acc = PointS(x_ref[:], y_ref[:], z_ref[:], t_ref[:])  # (16, 64)
     w = N_WINDOWS
     lvl = 0
     while w > 1:
@@ -441,18 +456,39 @@ def _finish_kernel(x_ref, y_ref, z_ref, t_ref, *out_refs):
 
 @jax.jit
 def msm_finish(parts: tuple):
-    """4 x (tiles, 16, 64) bit-reversed window partials -> one point."""
-    out_shape = [jax.ShapeDtypeStruct((NLIMBS, 1), jnp.uint32)] * 4
+    """4 x (16, 64, lc) bit-reversed tile-accumulated points -> one point."""
+    from .edwards import PointArray
+
+    lc = parts[0].shape[-1]
+    qs = N_WINDOWS // _WQ
+    mid = pl.pallas_call(
+        _lane_fold_kernel,
+        grid=(qs,),
+        # (qs, 16, WQ): the last block dim must equal the array dim (Mosaic
+        # divisibility rule), so quarters stack on a leading axis and are
+        # reassembled to (16, 64) below, outside the kernel (tiny arrays).
+        out_shape=[jax.ShapeDtypeStruct((qs, NLIMBS, _WQ), jnp.uint32)] * 4,
+        in_specs=[
+            pl.BlockSpec((NLIMBS, _WQ, lc), lambda q: (0, q, 0), memory_space=pltpu.VMEM)
+        ]
+        * 4,
+        out_specs=[
+            pl.BlockSpec((1, NLIMBS, _WQ), lambda q: (q, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        * 4,
+        interpret=_interpret(),
+    )(*parts)
+    mid = tuple(
+        jnp.transpose(c, (1, 0, 2)).reshape(NLIMBS, N_WINDOWS) for c in mid
+    )
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _finish_kernel,
-        out_shape=out_shape,
+        _horner_kernel,
+        out_shape=[jax.ShapeDtypeStruct((NLIMBS, 1), jnp.uint32)] * 4,
         in_specs=[spec] * 4,
         out_specs=[spec] * 4,
         interpret=_interpret(),
-    )(*parts)
-    from .edwards import PointArray
-
+    )(*mid)
     return PointArray(*(c[:, 0] for c in outs))
 
 
@@ -497,37 +533,47 @@ def msm_kernel_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _fixed_partials_kernel(tab_x, tab_y, tab_z, tab_t, dig_ref, *out_refs):
-    """Grid (chunk, window), window innermost: select this window's table
-    entries for every (batch, lane), halve the lane axis, and accumulate the
-    per-window point into the output block (kept in VMEM across the window
-    sweep because its index map ignores the window axis)."""
-    w_idx = pl.program_id(1)
+def _fixed_acc_kernel(tab_x, tab_y, tab_z, tab_t, dig_ref, *out_refs):
+    """Grid (f_chunk, chunk, window), window innermost: select this window's
+    table entries for every (batch-row, lane) and accumulate the RAW
+    selected block into the revisited output with ONE complete add per
+    window — the lane fold runs once afterwards (_fixed_fold_kernel), the
+    same associativity re-ordering as the dynamic kernel (~7x less padd
+    work than folding every window)."""
+    w_idx = pl.program_id(2)
     tab = PointS(tab_x[0], tab_y[0], tab_z[0], tab_t[0])  # (16d, 16l, SC)
-    dig = dig_ref[0]  # (F, SC) int32
-    f, sc = dig.shape
+    dig = dig_ref[0]  # (FC, SC) int32
 
-    sel = pf.identity((f, sc))
+    sel = pf.identity(dig.shape)
     for d in range(1, N_DIGITS):
-        mask = (dig == d)[None]  # (1, F, SC)
-        # tab coords are (16d, 16l, SC): index digit d -> (16l, SC) -> bcast F
+        mask = (dig == d)[None]  # (1, FC, SC)
+        # tab coords are (16d, 16l, SC): index digit d -> (16l, SC) -> bcast FC
         sel = PointS(
             *(jnp.where(mask, tc[d][:, None, :], s) for tc, s in zip(tab, sel))
         )
 
-    part = pf.lane_halve_sum(sel, axis=2, width=sc)  # (16, F, 1)
-    part = PointS(*(c[:, :, 0] for c in part))  # (16, F)
-
     @pl.when(w_idx == 0)
     def _():
-        for ref, c in zip(out_refs, part):
+        for ref, c in zip(out_refs, sel):
             ref[0] = c
 
     @pl.when(w_idx != 0)
     def _():
-        acc = pf.padd(PointS(*(ref[0] for ref in out_refs)), part)
+        acc = pf.padd(PointS(*(ref[0] for ref in out_refs)), sel)
         for ref, c in zip(out_refs, acc):
             ref[0] = c
+
+
+def _fixed_fold_kernel(x_ref, y_ref, z_ref, t_ref, *out_refs):
+    """Grid (chunk, f_chunk): fold the lane axis of one accumulated block."""
+    sel = PointS(x_ref[0], y_ref[0], z_ref[0], t_ref[0])  # (16, FC, SC)
+    sc = sel.x.shape[-1]
+    folded = pf.lane_halve_sum(sel, axis=2, width=sc)  # (16, FC, 1)
+    for ref, c in zip(out_refs, folded):
+        ref[0, 0] = c[:, :, 0]  # (16, FC)
+
+
+_FC = 32  # batch-row chunk: bounds the accumulator block VMEM (~6 MB peak)
 
 
 @functools.partial(jax.jit, static_argnames=("sc",))
@@ -540,21 +586,68 @@ def fixed_msm_partials(tables_t: tuple, digits: jnp.ndarray, sc: int = 128):
     s = digits.shape[2]
     assert s % sc == 0, (s, sc)
     chunks = s // sc
-    out_shape = [jax.ShapeDtypeStruct((chunks, NLIMBS, f), jnp.uint32)] * 4
-    grid = (chunks, N_WINDOWS)
-    tab_spec = pl.BlockSpec(
-        (1, N_DIGITS, NLIMBS, sc), lambda c, w: (w, 0, 0, c), memory_space=pltpu.VMEM
-    )
-    dig_spec = pl.BlockSpec((1, f, sc), lambda c, w: (w, 0, c), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, NLIMBS, f), lambda c, w: (c, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _fixed_partials_kernel,
-        grid=grid,
-        out_shape=out_shape,
-        in_specs=[tab_spec] * 4 + [dig_spec],
-        out_specs=[out_spec] * 4,
+    if f <= _FC:
+        fc, fpad = f, f  # block dim == array dim satisfies the sublane rule
+    else:
+        fc = _FC
+        fpad = -(-f // fc) * fc
+        if fpad != f:  # zero digits select the identity — harmless padding
+            digits = jnp.pad(digits, ((0, 0), (0, fpad - f), (0, 0)))
+    fq = fpad // fc
+
+    acc = pl.pallas_call(
+        _fixed_acc_kernel,
+        grid=(fq, chunks, N_WINDOWS),
+        out_shape=[jax.ShapeDtypeStruct((chunks, NLIMBS, fpad, sc), jnp.uint32)] * 4,
+        in_specs=[
+            pl.BlockSpec(
+                (1, N_DIGITS, NLIMBS, sc),
+                lambda fi, c, w: (w, 0, 0, c),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 4
+        + [
+            pl.BlockSpec(
+                (1, fc, sc), lambda fi, c, w: (w, fi, c), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, NLIMBS, fc, sc),
+                lambda fi, c, w: (c, 0, fi, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 4,
         interpret=_interpret(),
     )(*tables_t, digits)
+
+    mid = pl.pallas_call(
+        _fixed_fold_kernel,
+        grid=(chunks, fq),
+        out_shape=[jax.ShapeDtypeStruct((chunks, fq, NLIMBS, fc), jnp.uint32)] * 4,
+        in_specs=[
+            pl.BlockSpec(
+                (1, NLIMBS, fc, sc),
+                lambda c, fi: (c, 0, fi, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 4,
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, NLIMBS, fc), lambda c, fi: (c, fi, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 4,
+        interpret=_interpret(),
+    )(*acc)
+    # (chunks, fq, 16, fc) -> (chunks, 16, fpad) -> slice the padding off
+    return tuple(
+        jnp.transpose(c, (0, 2, 1, 3)).reshape(chunks, NLIMBS, fpad)[:, :, :f]
+        for c in mid
+    )
 
 
 def fixed_msm_batched_pallas(scalars: jnp.ndarray, tables_t: tuple, groups: int = 1):

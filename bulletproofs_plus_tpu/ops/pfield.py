@@ -116,18 +116,32 @@ def _add_row0(x: jnp.ndarray, row: jnp.ndarray) -> jnp.ndarray:
     return x + jnp.concatenate([row, z], axis=0)
 
 
+def _fold16(c17: jnp.ndarray, bound: int) -> jnp.ndarray:
+    """(17, ...) carried limbs, value < `bound` -> (16, ...) limbs < 2^16.
+
+    Limb-major twin of field._fold_to_16 (concat row-adds, no scatter):
+    folds the overflow row through 2^256 == 38 REPEATEDLY until the static
+    bound proves the value fits 16 limbs.  The single-fold version this
+    replaces truncated the final carry-out whenever the folded value landed
+    in [2^256, 2^256 + 38*q) — a window deterministically reachable from
+    identity-representation add chains (the round-4/5 "wrong value"
+    hardware failures; `bound` is a python int, so the loop unrolls at
+    trace time with no data-dependent control flow)."""
+    while bound > 2**256 - 1:
+        out = _add_row0(c17[:NLIMBS], 38 * c17[NLIMBS:])
+        q_max = bound >> 256
+        if q_max >= 2:
+            bound = (2**256 - 1) + 38 * q_max
+        else:
+            bound = max(2**256 - 1, bound - 2**256 + 38)
+        c17 = carry_prop(out, NLIMBS + (1 if bound > 2**256 - 1 else 0))
+    return c17[:NLIMBS]
+
+
 def _finish_mod(acc32: jnp.ndarray) -> jnp.ndarray:
     """(32, ...) limbs < 2^27 -> (16, ...) carried limbs, 2^256 == 38 fold."""
     folded = acc32[:NLIMBS] + 38 * acc32[NLIMBS:]
-    c = carry_prop(folded, NLIMBS + 1)
-    out = _add_row0(c[:NLIMBS], 38 * c[NLIMBS:])
-    # top limb is small, so 38*top < 2^21: one more light carry pass
-    return carry_prop(out, NLIMBS)
-
-
-def _finish_17(c17: jnp.ndarray) -> jnp.ndarray:
-    """(17, ...) carried limbs -> fold the single overflow limb via 38."""
-    return carry_prop(_add_row0(c17[:NLIMBS], 38 * c17[NLIMBS:]), NLIMBS)
+    return _fold16(carry_prop(folded, NLIMBS + 1), 2**270)
 
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -163,20 +177,20 @@ def sqr(a: jnp.ndarray) -> jnp.ndarray:
 
 def mul_small(a: jnp.ndarray, k: int) -> jnp.ndarray:
     assert 0 <= k < 2**15
-    return _finish_17(carry_prop(a * k, NLIMBS + 1))
+    return _fold16(carry_prop(a * k, NLIMBS + 1), k * 2**256)
 
 
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return _finish_17(carry_prop(a + b, NLIMBS + 1))
+    return _fold16(carry_prop(a + b, NLIMBS + 1), 2**257)
 
 
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a - b) with a 4p offset so no per-limb underflow."""
-    return _finish_17(carry_prop(a + _offset_4p(a) - b, NLIMBS + 1))
+    return _fold16(carry_prop(a + _offset_4p(a) - b, NLIMBS + 1), 2**256 + 4 * P)
 
 
 def neg(a: jnp.ndarray) -> jnp.ndarray:
-    return _finish_17(carry_prop(_offset_4p(a) - a, NLIMBS + 1))
+    return _fold16(carry_prop(_offset_4p(a) - a, NLIMBS + 1), 4 * P)
 
 
 # ---------------------------------------------------------------------------

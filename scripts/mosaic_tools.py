@@ -148,6 +148,114 @@ def cmd_prod():
         out(check="prod_pow2048", ok=False, err=f"{type(e).__name__}: {e}"[:300])
 
 
+def _dyn_partials_check(tag, scs, host_pts_ints, lc=128):
+    """Run dyn partials + finish on (scalars, points); check each
+    (window, lane-slot) tile-accumulated point AND the finished point
+    against host ints."""
+    from bulletproofs_plus_tpu.ops.limbs import int_from_limbs
+    from bulletproofs_plus_tpu.ops.msm import digits4
+
+    n = len(scs)
+    sc = jnp.asarray(pack_ints(scs))
+    pts = ed.from_host([hr.point_mul(k, hr.BASEPOINT) for k in host_pts_ints])
+    digits = digits4(sc)[pm._BREV6].astype(jnp.int32)
+    coords_t = tuple(jnp.transpose(c, (1, 0)) for c in pts)
+    try:
+        parts = pm.dyn_msm_partials(coords_t, digits, lc=lc)
+    except Exception as e:
+        out(check=f"dynmatrix_{tag}", ok=False, err=f"{type(e).__name__}: {e}"[:200])
+        return
+    parts_np = [np.asarray(c) for c in parts]  # 4 x (16, 64, lc)
+    tiles = n // lc
+
+    def pt_eq(coords_ints, want_pt) -> bool:
+        x, y, zc, _t = coords_ints
+        wx, wy, wz, _wt = want_pt
+        if zc % hr.P == 0:
+            return False
+        zi = pow(zc, hr.P - 2, hr.P)
+        wzi = pow(wz, hr.P - 2, hr.P)
+        return (x * zi - wx * wzi) % hr.P == 0 and (y * zi - wy * wzi) % hr.P == 0
+
+    bad = []
+    for row in range(64):
+        j = int(pm._BREV6[row])
+        for slot in range(lc):
+            k = sum(
+                ((scs[t * lc + slot] >> (4 * j)) & 0xF) * host_pts_ints[t * lc + slot]
+                for t in range(tiles)
+            )
+            want = hr.point_mul(k % hr.L, hr.BASEPOINT) if k % hr.L else (0, 1, 1, 0)
+            got = [int_from_limbs(c[:, row, slot]) % hr.P for c in parts_np]
+            if not pt_eq(got, want):
+                bad.append({"win": j, "row": row, "slot": slot})
+        if len(bad) > 12:
+            break
+    # finish stage on the (possibly wrong) partials
+    fin = pm.msm_finish(parts)
+    total = sum(s * p for s, p in zip(scs, host_pts_ints)) % hr.L
+    want_fin = ed.from_host([hr.point_mul(total, hr.BASEPOINT)])
+    want_fin = ed.PointArray(*(c[0] for c in want_fin))
+    fin_ok = bool(rist.point_equal(fin, want_fin))
+    out(
+        check=f"dynmatrix_{tag}",
+        ok=not bad and fin_ok,
+        partials_bad=bad[:6],
+        n_bad=len(bad),
+        finish_ok=fin_ok,
+        tiles=tiles,
+    )
+
+
+def cmd_lint():
+    """Client-side lowering of every pallas entry point for the TPU target —
+    catches structural Mosaic rejections (block-shape rules, unsupported
+    ops) in seconds, without a remote compile.  VMEM OOMs only surface at
+    real compile; this can't catch those."""
+    import jax.numpy as jnp2
+
+    from bulletproofs_plus_tpu.ops.pallas_pow import _pow_p58_tiles
+
+    u32 = jnp2.uint32
+    sds = jax.ShapeDtypeStruct
+    checks = []
+    for tiles in (1, 4, 32):
+        n = tiles * 128
+        coords = tuple(sds((NLIMBS, n), u32) for _ in range(4))
+        digs = sds((64, n), jnp2.int32)
+        checks.append((f"dyn_partials_t{tiles}", lambda c=coords, d=digs: pm.dyn_msm_partials.lower(c, d, lc=128)))
+        checks.append((f"dyn_partials_signed_t{tiles}", lambda c=coords, d=digs: pm.dyn_msm_partials_signed.lower(c, d, lc=128)))
+    checks.append(("msm_finish", lambda: pm.msm_finish.lower(tuple(sds((NLIMBS, 64, 128), u32) for _ in range(4)))))
+    for f, s, sc in ((8, 64, 64), (32, 128, 128), (128, 256, 128)):
+        tabs = tuple(sds((64, 16, NLIMBS, s), u32) for _ in range(4))
+        digs = sds((64, f, s), jnp2.int32)
+        checks.append((f"fixed_partials_f{f}_s{s}", lambda t=tabs, d=digs, c=sc: pm.fixed_msm_partials.lower(t, d, sc=c)))
+    checks.append(("pow_tiles", lambda: _pow_p58_tiles.lower(sds((NLIMBS, 256), u32), lc=256)))
+    for name, fn in checks:
+        try:
+            fn()
+            out(check=f"lint_{name}", ok=True)
+        except Exception as e:
+            out(check=f"lint_{name}", ok=False, err=f"{type(e).__name__}: {e}"[:200])
+
+
+def cmd_dynmatrix():
+    """Bisect the dyn n=512 smoke failure: which (tile, window) partial is
+    wrong, and does it track n / scalar pattern / broadcast-vs-distinct
+    points?  (smoke arms: dyn n=512 bcast 1..512 FAILS; prod n=4096
+    distinct 7i+3 PASSES — round-5 first hardware run.)"""
+    # A: the failing smoke config exactly
+    _dyn_partials_check("A_512_seq_bcast", [i + 1 for i in range(512)], [1] * 512)
+    # B: same scalars, distinct points
+    _dyn_partials_check(
+        "B_512_seq_distinct", [i + 1 for i in range(512)], [i + 1 for i in range(512)]
+    )
+    # C: prod-style scalars, broadcast point
+    _dyn_partials_check("C_512_7i3_bcast", [7 * i + 3 for i in range(512)], [1] * 512)
+    # D: one tile, the round-4 failing tile-1 data (single digit at lane 127)
+    _dyn_partials_check("D_128_tile1_bcast", [129 + i for i in range(128)], [1] * 128)
+
+
 def _time_msm(fn, sc, pts, reps=5):
     r = fn(sc, pts)  # compile + warm
     jax.block_until_ready(r)
@@ -198,7 +306,13 @@ def main():
     cmds = sys.argv[1:] or ["smoke"]
     out(start=True, backend=jax.default_backend(), cmds=cmds)
     for c in cmds:
-        {"smoke": cmd_smoke, "prod": cmd_prod, "time": cmd_time}[c]()
+        {
+            "smoke": cmd_smoke,
+            "prod": cmd_prod,
+            "time": cmd_time,
+            "dynmatrix": cmd_dynmatrix,
+            "lint": cmd_lint,
+        }[c]()
     out(check="done", ok=True)
 
 

@@ -113,3 +113,29 @@ def test_pfield_lane_halve_sum():
     for p in ps:
         want = hr.point_add(want, p)
     assert hr.point_equal(_point_from_s(got, (0,)), want)
+
+
+def test_fold16_carry_out_edge():
+    """Regression: the 2^256==38 fold must iterate until the static bound
+    proves the value fits 16 limbs.  A single fold truncates the final
+    carry-out (2^256 ≡ 38 silently dropped) whenever the folded value lands
+    in [2^256, 2^256 + 38*q) — deterministically reachable: identity adds
+    produce 2p-offset representations whose sub/add results store as
+    2^256 - 30, and (2^256 - 30)^2 then hits the window (round-4/5 hardware
+    'wrong value' root cause)."""
+    from bulletproofs_plus_tpu.ops.limbs import limbs_from_int
+
+    edge = jnp.asarray(limbs_from_int(2**256 - 30).reshape(16, 1))
+    got = int_from_limbs(np.asarray(pf.mul(edge, edge))[:, 0]) % hr.P
+    assert got == pow(2**256 - 30, 2, hr.P) == 64
+
+    # the end-to-end shape it was found in: id; +id; +B; +B == 2B
+    base = ed.from_host([hr.BASEPOINT])
+    B = pf.PointS(*(jnp.transpose(c, (1, 0)) for c in base))
+    acc = pf.padd(pf.padd(pf.padd(pf.identity((1,)), pf.identity((1,))), B), B)
+    gx, gy, gz = (int_from_limbs(np.asarray(c)[:, 0]) % hr.P for c in (acc.x, acc.y, acc.z))
+    want = hr.point_mul(2, hr.BASEPOINT)
+    zi = pow(gz, hr.P - 2, hr.P)
+    wzi = pow(want[2], hr.P - 2, hr.P)
+    assert gx * zi % hr.P == want[0] * wzi % hr.P
+    assert gy * zi % hr.P == want[1] * wzi % hr.P
