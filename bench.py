@@ -355,33 +355,39 @@ def main() -> None:
     # fixed-base round MSMs, models/prover_device.py) — a single compile per
     # (B, shape), so this runs by default.  Opt out with BPP_BENCH_PROVE=0.
     if os.environ.get("BPP_BENCH_PROVE", "1") == "1":
-        try:
-            PB = int(os.environ.get("BPP_BENCH_PROVE_B", "128"))
-            pr_statements, pr_witnesses = [], []
-            for i in range(PB):
-                v, b = (1 << 62) + i, 13371337 + i
-                c = pc_gens.commit(v, [b])
-                pr_statements.append(RangeStatement.init(params, [c], [None], None))
-                pr_witnesses.append(RangeWitness.init([CommitmentOpening(v, [b])]))
+        best = None
+        for pb_str in os.environ.get("BPP_BENCH_PROVE_B", "128").split(","):
+            try:
+                PB = int(pb_str)
+                pr_statements, pr_witnesses = [], []
+                for i in range(PB):
+                    v, b = (1 << 62) + i, 13371337 + i
+                    c = pc_gens.commit(v, [b])
+                    pr_statements.append(RangeStatement.init(params, [c], [None], None))
+                    pr_witnesses.append(RangeWitness.init([CommitmentOpening(v, [b])]))
 
-            def prove_run():
-                return RangeProof.prove_batch_with_rng(
-                    [Transcript(b"bench-p") for _ in range(PB)],
-                    pr_statements, pr_witnesses, SeededRng(42),
-                )
+                def prove_run():
+                    return RangeProof.prove_batch_with_rng(
+                        [Transcript(b"bench-p") for _ in range(PB)],
+                        pr_statements, pr_witnesses, SeededRng(42),
+                    )
 
-            prove_run()  # warm/compile
-            lat = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                prove_run()
-                lat.append((time.perf_counter() - t0) / PB)
-            lat.sort()
-            _emit("prove_latency_p50_ms", lat[len(lat) // 2] * 1e3, "ms/proof", batch=PB)
-            _emit("prove_throughput_proofs_per_sec", 1.0 / lat[len(lat) // 2], "proofs/s", batch=PB)
-        except Exception as exc:  # best-effort: never fail the whole bench
-            _emit("prove_latency_p50_ms", 0.0, "ms/proof",
-                  error=f"{type(exc).__name__}: {exc}"[:300])
+                prove_run()  # warm/compile
+                lat = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    prove_run()
+                    lat.append((time.perf_counter() - t0) / PB)
+                lat.sort()
+                p50 = lat[len(lat) // 2]
+                _emit("prove_latency_p50_ms", p50 * 1e3, "ms/proof", batch=PB)
+                if best is None or 1.0 / p50 > best[0]:
+                    best = (1.0 / p50, PB)
+            except Exception as exc:  # best-effort: never fail the whole bench
+                _emit("prove_latency_p50_ms", 0.0, "ms/proof", batch=pb_str,
+                      error=f"{type(exc).__name__}: {exc}"[:300])
+        if best is not None:
+            _emit("prove_throughput_proofs_per_sec", best[0], "proofs/s", batch=best[1])
 
     # Final pallas status: records any per-shape fallbacks the prover took.
     st = pallas_status()
