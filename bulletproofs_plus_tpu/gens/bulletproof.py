@@ -14,7 +14,7 @@ the host tuples remain available for setup-time host math.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from ..errors import SizeOverflow
 from ..ops import host_ristretto as hr

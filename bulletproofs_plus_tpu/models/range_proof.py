@@ -56,6 +56,29 @@ class VerifyAction(enum.Enum):
     RECOVER_ONLY = "recover_only"
 
 
+class _FetchStage:
+    """A device-engine pipeline stage blocked on a device->host fetch.
+
+    `arrays` is a pytree of device arrays to `jax.device_get` — ONE tunnel
+    round trip (a readback costs a flat ~28 ms here regardless of payload,
+    so the pipeline driver coalesces the heads of BOTH stage queues into a
+    single get).  `cont(host_values)` consumes the fetched values and
+    returns either the final result or another `_FetchStage`.
+    """
+
+    __slots__ = ("arrays", "cont")
+
+    def __init__(self, arrays, cont):
+        self.arrays = arrays
+        self.cont = cont
+
+    def run(self):
+        """Fetch + continue — the unpipelined (single-batch) path."""
+        import jax
+
+        return self.cont(jax.device_get(self.arrays))
+
+
 def _inv(x: int) -> int:
     return pow(x, -1, L)
 
@@ -518,22 +541,35 @@ class RangeProof:
 
         The fast path is a 3-stage pipeline per batch (replay-kernel
         dispatch; seed fetch + weights + fused-kernel dispatch; verdict
-        fetch) interleaved across batches so each of the two device->host
-        round trips — a fixed-latency cost on a tunneled TPU — hides under
-        other batches' kernels.
+        fetch) interleaved across batches.  On a tunneled TPU every
+        device->host fetch costs a flat ~28 ms round trip no matter the
+        payload, so the driver COALESCES batch k's verdict fetch with batch
+        k+1's seed fetch into one `jax.device_get` — the steady state is a
+        single round trip per batch, which is the pipeline's floor.
 
         Failure ordering: errors are raised for the LOWEST-indexed failing
         batch even when a later batch's failure surfaces first (batch k+1's
-        seed fetch runs before batch k's verdict fetch by design), and no new
-        batches are dispatched once any failure is known.
+        seed fetch is served in the same round trip as batch k's verdict by
+        design), and no new batches are dispatched once any failure is known.
         """
+        import os
+
+        import jax
+
         from ..errors import ProofError
         from ..ops.pallas_msm import mosaic_available
 
         mosaic_available()  # decide the Mosaic gate eagerly (see verify_batch)
 
-        b_q: List = []  # (idx, stage) pending seed fetch -> kernel 2
-        c_q: List = []  # (idx, stage) pending verdict fetch
+        # How many batches share one device->host round trip.  At 2 the
+        # steady state is one fetch per two batches (verdicts k, k+1 + seeds
+        # k+2, k+3 in a single get) and the pipeline flips from sync-bound to
+        # device-bound; raising it further buys little and delays failure
+        # detection by more in-flight batches.
+        lookahead = max(1, int(os.environ.get("BPPT_PIPELINE_LOOKAHEAD", "2")))
+
+        b_q: List = []  # (idx, _FetchStage) pending seed fetch -> kernel 2
+        c_q: List = []  # (idx, _FetchStage) pending verdict fetch
         done: dict = {}
         errors: dict = {}
         n = 0
@@ -541,28 +577,30 @@ class RangeProof:
         def doomed(idx: int) -> bool:
             return bool(errors) and min(errors) < idx
 
-        def advance_b():
-            idx, stage = b_q.pop(0)
-            if doomed(idx):  # an earlier batch already failed; abandon
+        def pump():
+            """Serve the oldest `lookahead` verdict fetches AND seed fetches
+            in ONE device_get, then run their continuations in batch order."""
+            serve = []
+            for _ in range(min(lookahead, len(c_q))):
+                serve.append(c_q.pop(0))
+            for _ in range(min(lookahead, len(b_q))):
+                serve.append(b_q.pop(0))
+            serve = [(idx, st) for idx, st in serve if not doomed(idx)]
+            if not serve:
                 return
-            try:
-                step = stage()
-            except ProofError as exc:
-                errors[idx] = exc
-                return
-            if callable(step):
-                c_q.append((idx, step))
-            else:
-                done[idx] = step
-
-        def advance_c():
-            idx, stage = c_q.pop(0)
-            if doomed(idx):
-                return
-            try:
-                done[idx] = stage()
-            except ProofError as exc:
-                errors[idx] = exc
+            values = jax.device_get(tuple(st.arrays for _, st in serve))
+            for (idx, st), vals in sorted(zip(serve, values), key=lambda p: p[0][0]):
+                if doomed(idx):  # a lower-indexed cont in this pump failed
+                    continue
+                try:
+                    step = st.cont(vals)
+                except ProofError as exc:
+                    errors[idx] = exc
+                    continue
+                if isinstance(step, _FetchStage):
+                    c_q.append((idx, step))
+                else:
+                    done[idx] = step
 
         for transcripts, statements, proofs in batches:
             if errors:
@@ -585,18 +623,15 @@ class RangeProof:
                 errors[n] = exc
                 n += 1
                 break
-            if c_q:
-                advance_c()
-            if b_q:
-                advance_b()
-            b_q.append((n, stage))
+            if isinstance(stage, _FetchStage):
+                b_q.append((n, stage))
+            else:
+                done[n] = stage  # e.g. RECOVER_ONLY: masks are host-complete
             n += 1
-        while b_q:
-            advance_b()
-            if c_q:
-                advance_c()
-        while c_q:
-            advance_c()
+            if len(b_q) >= lookahead:
+                pump()
+        while b_q or c_q:
+            pump()
         if errors:
             raise errors[min(errors)]
         return [done[i] for i in range(n)]
@@ -612,8 +647,8 @@ class RangeProof:
         """Device (TPU) verification: host Fiat-Shamir replay, then jitted
         scalar pipelines per proof shape and one folded MSM ladder."""
         step = RangeProof._verify_device_dispatch(transcripts, statements, proofs, action, mesh)
-        while callable(step):
-            step = step()
+        while isinstance(step, _FetchStage):
+            step = step.run()
         return step
 
     @staticmethod
@@ -628,12 +663,9 @@ class RangeProof:
         device kernels WITHOUT blocking; returns a zero-arg `finish` callable
         that blocks on the device result and returns the masks (or raises) —
         the double-buffering seam used by `verify_batches_pipelined`."""
-        from ..ops import edwards as ed
-        from ..ops import field as F
-        from .verifier_kernels import DeviceVerifier, pad_msm_inputs
+        from .verifier_kernels import DeviceVerifier
         import jax.numpy as jnp
         import numpy as _np
-        from ..ops.limbs import NLIMBS as _NLIMBS
 
         max_mn, max_index = RangeProof._verify_consistency(statements, proofs)
         first = statements[0]
@@ -685,7 +717,7 @@ class RangeProof:
             for statement, proof, challenge in zip(statements, proofs, batch_challenges):
                 masks.append(RangeProof._recover_mask(statement, proof, challenge, extension_degree))
             if action == VerifyAction.RECOVER_ONLY:
-                return lambda: masks
+                return masks
 
         tables_ = max_statement.generators.bp_gens.fixed_tables_sliced(2 * max_mn)
         g_base_pts, h_base_pt = gens.pc_gens.device_bases()
@@ -719,13 +751,14 @@ class RangeProof:
                     max_mn=max_mn,
                 )
 
-            def finish_group(ok=ok, valid=valid, m=m, rounds=rounds, masks=masks):
-                DeviceVerifier.raise_canonicality(_np.asarray(valid), m, rounds)
-                if not bool(ok):
+            def finish_group(vals, m=m, rounds=rounds, masks=masks):
+                ok_np, valid_np = vals
+                DeviceVerifier.raise_canonicality(_np.asarray(valid_np), m, rounds)
+                if not bool(ok_np):
                     raise VerificationFailed("Range proof batch not valid")
                 return masks
 
-            return finish_group
+            return _FetchStage((ok, valid), finish_group)
 
         # Mixed-shape fused path: ONE `group_contrib` dispatch per shape
         # group (scalar pass + decompression + dynamic assembly fused) and
@@ -768,10 +801,8 @@ class RangeProof:
             tables_, g_base_pts, h_base_pt,
         )
 
-        def finish_mixed(ok=ok, masks=masks, group_meta=group_meta):
-            import jax
-
-            ok_np, valids = jax.device_get((ok, [g[3] for g in group_meta]))
+        def finish_mixed(vals, masks=masks, group_meta=group_meta):
+            ok_np, valids = vals
             # Canonicality errors in the reference's PROOF order
             # (range_proof.rs:856-866 iterates the batch in order)
             by_index = {}
@@ -786,7 +817,7 @@ class RangeProof:
                 raise VerificationFailed("Range proof batch not valid")
             return masks
 
-        return finish_mixed
+        return _FetchStage((ok, [g[3] for g in group_meta]), finish_mixed)
 
     @staticmethod
     def _dispatch_device_replay(
@@ -829,18 +860,22 @@ class RangeProof:
 
         buf = jnp.asarray(pack_replay_inputs(statements, proofs))
         y, z, es, e, seeds, bad_id, bad_zero = rep(jnp.asarray(stacked.strobe.state), buf)
+        # Everything kernel 1 produced for the host travels in ONE fetch
+        # (readback latency dominates size on the tunnel); mask-recovery
+        # actions ride the challenges along in the same round trip.
+        fetch1 = (seeds, bad_id, bad_zero)
+        if action != VerifyAction.VERIFY_ONLY:
+            fetch1 = fetch1 + (y, z, es, e)
         # Start the (fixed ~latency) device->host copy without blocking, so
         # a pipelined caller can overlap it with other batches' kernels.
-        for arr in (seeds, bad_id, bad_zero):
+        for arr in fetch1:
             try:
                 arr.copy_to_host_async()
             except Exception:  # pragma: no cover - backend-dependent
                 pass
 
-        def stage_b():
-            # ONE device->host round trip for everything kernel 1 produced
-            # for the host (readback latency dominates size on the tunnel).
-            seeds_np, bad_id_np, bad_zero_np = jax.device_get((seeds, bad_id, bad_zero))
+        def stage_b(vals):
+            seeds_np, bad_id_np, bad_zero_np = vals[:3]
             if bad_id_np.any():
                 raise VerificationFailed("Identity element cannot be added to the transcript")
             if bad_zero_np.any():  # pragma: no cover - 2^-252
@@ -849,8 +884,9 @@ class RangeProof:
 
             masks: List[Optional[ExtendedMask]] = [None] * B
             if action != VerifyAction.VERIFY_ONLY:
-                # Mask recovery is host scalar math; pull the challenges once.
-                y_np, z_np, es_np, e_np = jax.device_get((y, z, es, e))
+                # Mask recovery is host scalar math over the challenges
+                # (already fetched alongside the seeds).
+                y_np, z_np, es_np, e_np = vals[3:]
                 y_i = unpack_ints(y_np)
                 z_i = unpack_ints(z_np)
                 es_i = unpack_ints(es_np.reshape(B * rounds, -1))
@@ -884,16 +920,16 @@ class RangeProof:
                 except Exception:  # pragma: no cover - backend-dependent
                     pass
 
-            def stage_c():
-                ok_np, valid_np = jax.device_get((ok, valid))
+            def stage_c(vals2, masks=masks):
+                ok_np, valid_np = vals2
                 DeviceVerifier.raise_canonicality(valid_np, m, rounds)
                 if not bool(ok_np):
                     raise VerificationFailed("Range proof batch not valid")
                 return masks
 
-            return stage_c
+            return _FetchStage((ok, valid), stage_c)
 
-        return stage_b
+        return _FetchStage(fetch1, stage_b)
 
     @staticmethod
     def _draw_weights(seeds: Sequence[bytes], n: int) -> List[int]:

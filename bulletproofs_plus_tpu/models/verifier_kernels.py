@@ -23,13 +23,12 @@ so XLA compiles one program per shape — the shape space is tiny
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import edwards as ed
 from ..ops import field as F
 from ..ops import host_ristretto as hr
 from ..ops import ristretto as rist

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import functools
 import os as _os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

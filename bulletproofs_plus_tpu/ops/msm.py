@@ -20,7 +20,6 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import edwards as ed
 from . import host_ristretto as hr

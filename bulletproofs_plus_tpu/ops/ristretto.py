@@ -12,7 +12,6 @@ negative sign, invalid square) is returned as a boolean mask, mirroring
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from . import field as F
 from . import host_ristretto as hr

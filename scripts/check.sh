@@ -29,6 +29,9 @@ assert not missing, f"public surface missing: {missing}"
 print("public surface ok")
 EOF
 
+echo "== lint =="
+python scripts/lint.py
+
 echo "== stub scan =="
 if grep -rn "NotImplementedError" bulletproofs_plus_tpu --include="*.py"; then
   echo "stubs found"; exit 1
